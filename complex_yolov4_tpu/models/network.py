@@ -1,0 +1,263 @@
+"""Pure-functional NHWC network executor for the darknet layer IR.
+
+TPU-first design decisions (vs reference: src/models/darknet2pytorch.py):
+
+- NHWC activations + HWIO conv weights — the layouts XLA:TPU tiles onto the
+  MXU without transposes (the reference is NCHW/cuDNN).
+- The Python loop over layer specs runs once at trace time under `jit`; XLA
+  fuses conv+BN+activation chains. There is no per-forward interpretation.
+- Compute dtype is configurable (bfloat16 by default for inference); BatchNorm
+  statistics and parameters stay float32 for numerical parity.
+- Decoded heads stay on device — no D2H copy per forward (the reference moves
+  all 22,743 boxes to CPU every step, darknet2pytorch.py:228).
+
+Parameters are a pytree ``{"layer{i}": {...}}``; BatchNorm running statistics
+live in a separate ``state`` pytree so `apply` stays a pure function.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .spec import ConvSpec, MaxPoolSpec, NetSpec, RouteSpec, ShortcutSpec, UpsampleSpec, YoloSpec
+from .yolo_head import decode_head
+
+Params = Dict[str, Any]
+State = Dict[str, Any]
+
+BN_EPS = 1e-5       # torch BatchNorm2d default, kept for weight-import parity
+BN_MOMENTUM = 0.1   # torch convention: new = (1 - m) * old + m * batch
+
+
+def _act(x: jnp.ndarray, kind: str) -> jnp.ndarray:
+    if kind == "mish":
+        # x * tanh(softplus(x)); softplus in fp32 for stability then cast back
+        return x * jnp.tanh(jax.nn.softplus(x))
+    if kind == "leaky":
+        return jax.nn.leaky_relu(x, 0.1)
+    if kind == "relu":
+        return jax.nn.relu(x)
+    if kind == "linear":
+        return x
+    raise ValueError(f"unknown activation {kind!r}")
+
+
+def init_params(spec: NetSpec, rng: jax.Array, dtype=jnp.float32) -> Tuple[Params, State]:
+    """Kaiming-style init matching torch Conv2d defaults closely enough for
+    from-scratch training; returns (params, state)."""
+    params: Params = {}
+    state: State = {}
+    chans = (spec.in_channels,) + spec.out_channels()
+    rngs = jax.random.split(rng, len(spec.layers))
+    for i, layer in enumerate(spec.layers):
+        if not isinstance(layer, ConvSpec):
+            continue
+        cin, cout, k = chans[i], layer.filters, layer.size
+        fan_in = cin * k * k
+        bound = float(np.sqrt(1.0 / fan_in))
+        w_key, b_key = jax.random.split(rngs[i])
+        entry: Dict[str, Any] = {
+            "w": jax.random.uniform(w_key, (k, k, cin, cout), dtype, -bound, bound)
+        }
+        if layer.batch_normalize:
+            entry["bn_scale"] = jnp.ones((cout,), jnp.float32)
+            entry["bn_bias"] = jnp.zeros((cout,), jnp.float32)
+            state[f"layer{i}"] = {
+                "mean": jnp.zeros((cout,), jnp.float32),
+                "var": jnp.ones((cout,), jnp.float32),
+            }
+        else:
+            entry["b"] = jax.random.uniform(b_key, (cout,), dtype, -bound, bound)
+        params[f"layer{i}"] = entry
+    return params, state
+
+
+def _conv(x: jnp.ndarray, w: jnp.ndarray, stride: int, pad: int,
+          compute_dtype) -> jnp.ndarray:
+    return jax.lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _maxpool(x: jnp.ndarray, size: int, stride: int) -> jnp.ndarray:
+    """Darknet maxpool variants (reference: src/models/darknet2pytorch.py:31-61,279-291)."""
+    neg_inf = jnp.asarray(-jnp.inf, x.dtype)
+    if stride == size:
+        return jax.lax.reduce_window(
+            x, neg_inf, jax.lax.max, (1, size, size, 1), (1, stride, stride, 1), "VALID")
+    if stride == 1 and size % 2 == 1:
+        p = size // 2
+        return jax.lax.reduce_window(
+            x, neg_inf, jax.lax.max, (1, size, size, 1), (1, 1, 1, 1),
+            [(0, 0), (p, p), (p, p), (0, 0)])
+    # MaxPoolDark: replicate padding chosen so out = (in + (size-1) - size)//stride + 1
+    h, w_ = x.shape[1], x.shape[2]
+    p = size // 2
+
+    def pads(dim: int) -> Tuple[int, int]:
+        lo = (size - 1) // 2
+        hi = lo + 1 if ((dim - 1) // stride) != ((dim + 2 * p - size) // stride) else lo
+        return lo, hi
+
+    (t, bm), (l, r) = pads(h), pads(w_)
+    x = jnp.pad(x, [(0, 0), (t, bm), (l, r), (0, 0)], mode="edge")
+    return jax.lax.reduce_window(
+        x, neg_inf, jax.lax.max, (1, size, size, 1), (1, stride, stride, 1), "VALID")
+
+
+def _upsample(x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    x = jnp.repeat(x, stride, axis=1)
+    return jnp.repeat(x, stride, axis=2)
+
+
+def apply(
+    spec: NetSpec,
+    params: Params,
+    state: State,
+    x: jnp.ndarray,
+    *,
+    train: bool = False,
+    compute_dtype=jnp.bfloat16,
+):
+    """Run the network.
+
+    Args:
+      x: (B, H, W, C) BEV raster, float32 in [0, 1].
+      train: batch statistics + running-stat updates when True.
+
+    Returns:
+      train=False: (decoded, head_raw) where decoded is (B, num_boxes, 7+C)
+        with rows [x, y, w, l, im, re, conf, cls...] in input-pixel units
+        (same semantics as reference yolo_layer.py:184-190), and head_raw is
+        the list of per-head decode dicts (grid-unit boxes etc., for loss/tests).
+      train=True: ((decoded, head_raw), new_state).
+    """
+    img_size = x.shape[1]
+    outputs: List[Optional[jnp.ndarray]] = []
+    new_state: State = {}
+    decoded_heads = []
+    head_raw = []
+
+    # Liveness: free activations that no later route/shortcut needs.
+    last_use = [i for i in range(len(spec.layers))]
+    for i, layer in enumerate(spec.layers):
+        if isinstance(layer, RouteSpec):
+            for j in layer.layers:
+                last_use[j] = max(last_use[j], i)
+        elif isinstance(layer, ShortcutSpec):
+            last_use[layer.from_index] = max(last_use[layer.from_index], i)
+        if i > 0 and not isinstance(layer, RouteSpec):
+            last_use[i - 1] = max(last_use[i - 1], i)
+
+    h = x
+    for i, layer in enumerate(spec.layers):
+        if isinstance(layer, ConvSpec):
+            p = params[f"layer{i}"]
+            pad = (layer.size - 1) // 2 if layer.pad else 0
+            h = _conv(h, p["w"], layer.stride, pad, compute_dtype)
+            if layer.batch_normalize:
+                if train:
+                    mean = jnp.mean(h, axis=(0, 1, 2))
+                    var = jnp.var(h, axis=(0, 1, 2))
+                    n = h.shape[0] * h.shape[1] * h.shape[2]
+                    unbiased = var * (n / max(n - 1, 1))
+                    old = state[f"layer{i}"]
+                    new_state[f"layer{i}"] = {
+                        "mean": (1 - BN_MOMENTUM) * old["mean"] + BN_MOMENTUM * mean,
+                        "var": (1 - BN_MOMENTUM) * old["var"] + BN_MOMENTUM * unbiased,
+                    }
+                else:
+                    st = state[f"layer{i}"]
+                    mean, var = st["mean"], st["var"]
+                inv = jax.lax.rsqrt(var + BN_EPS) * p["bn_scale"]
+                h = h * inv + (p["bn_bias"] - mean * inv)
+            else:
+                h = h + p["b"]
+            h = _act(h, layer.activation)
+            h = h.astype(compute_dtype)
+        elif isinstance(layer, MaxPoolSpec):
+            h = _maxpool(h, layer.size, layer.stride)
+        elif isinstance(layer, UpsampleSpec):
+            h = _upsample(h, layer.stride)
+        elif isinstance(layer, RouteSpec):
+            if len(layer.layers) == 1:
+                src = outputs[layer.layers[0]]
+                if layer.groups > 1:
+                    c = src.shape[-1] // layer.groups
+                    h = src[..., layer.group_id * c : (layer.group_id + 1) * c]
+                else:
+                    h = src
+            else:
+                h = jnp.concatenate([outputs[j] for j in layer.layers], axis=-1)
+        elif isinstance(layer, ShortcutSpec):
+            h = outputs[layer.from_index] + outputs[i - 1]
+            h = _act(h, layer.activation)
+        elif isinstance(layer, YoloSpec):
+            raw = decode_head(outputs[i - 1].astype(jnp.float32), layer, img_size)
+            head_raw.append(raw)
+            decoded_heads.append(raw["output"])
+            h = outputs[i - 1]
+        outputs.append(h)
+        # Drop dead activations so XLA's buffer liveness matches ours.
+        for j in range(i + 1):
+            if outputs[j] is not None and last_use[j] <= i:
+                outputs[j] = None
+
+    decoded = jnp.concatenate(decoded_heads, axis=1)
+    if train:
+        merged = dict(state)
+        merged.update(new_state)
+        return (decoded, head_raw), merged
+    return decoded, head_raw
+
+
+def network_apply_fn(spec: NetSpec, *, train: bool = False, compute_dtype=jnp.bfloat16):
+    """Partially-applied `apply` suitable for jit."""
+    return functools.partial(apply, spec, train=train, compute_dtype=compute_dtype)
+
+
+def num_parameters(params: Params) -> int:
+    return sum(int(np.prod(v.shape)) for leaf in params.values() for v in leaf.values())
+
+
+def fold_batchnorm(spec: NetSpec, params: Params, state: State) -> Params:
+    """Fold BN running stats into conv weights for inference
+    (y = scale*(conv(x)-mean)/sqrt(var+eps)+bias  ==  conv'(x)+b').
+    Returns a new param tree where every conv has a bias and no BN entries."""
+    folded: Params = {}
+    for i, layer in enumerate(spec.layers):
+        key = f"layer{i}"
+        if key not in params:
+            continue
+        p = params[key]
+        if isinstance(layer, ConvSpec) and layer.batch_normalize:
+            st = state[key]
+            inv = 1.0 / np.sqrt(np.asarray(st["var"], np.float64) + BN_EPS)
+            scale = np.asarray(p["bn_scale"], np.float64) * inv
+            w = np.asarray(p["w"], np.float64) * scale[None, None, None, :]
+            b = np.asarray(p["bn_bias"], np.float64) - np.asarray(st["mean"], np.float64) * scale
+            folded[key] = {"w": jnp.asarray(w, jnp.float32), "b": jnp.asarray(b, jnp.float32)}
+        else:
+            folded[key] = dict(p)
+    return folded
+
+
+def fold_spec(spec: NetSpec) -> NetSpec:
+    """Spec matching `fold_batchnorm` output (all convs bias-only)."""
+    layers = tuple(
+        ConvSpec(l.filters, l.size, l.stride, l.pad, False, l.activation)
+        if isinstance(l, ConvSpec) else l
+        for l in spec.layers
+    )
+    return NetSpec(layers=layers, in_channels=spec.in_channels, width=spec.width,
+                   height=spec.height, name=spec.name + "_folded")

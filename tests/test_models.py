@@ -1,0 +1,114 @@
+"""Model IR, cfg parser, and forward-pass tests.
+
+Covers what the reference only smoke-checked manually
+(reference: src/models/model_utils.py:70-90) plus cfg/zoo structural parity.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from complex_yolov4_tpu.models import get_model_spec, netspec_from_cfg
+from complex_yolov4_tpu.models import network as net
+from complex_yolov4_tpu.models.spec import ConvSpec, YoloSpec
+
+REFERENCE_CFG_DIR = "/root/reference/src/config/cfg"
+
+ALL_MODELS = ["complex_yolov4", "complex_yolov4_tiny", "complex_yolov3", "complex_yolov3_tiny"]
+
+
+@pytest.mark.parametrize("name", ALL_MODELS)
+def test_zoo_spec_structure(name):
+    spec = get_model_spec(name)
+    spec.validate()
+    heads = [spec.layers[i] for i in spec.yolo_indices]
+    assert len(heads) in (2, 3)
+    strides = sorted({h.stride for h in heads})
+    assert all(s in (8, 16, 32) for s in strides)
+    assert spec.num_classes == 3
+    # per-head conv emits 3*(7+C) channels
+    for i in spec.yolo_indices:
+        prev = spec.layers[i - 1]
+        assert isinstance(prev, ConvSpec)
+        assert prev.filters == 3 * (7 + 3)
+        assert not prev.batch_normalize and prev.activation == "linear"
+
+
+@pytest.mark.parametrize("name", ALL_MODELS)
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_CFG_DIR), reason="reference tree not present")
+def test_zoo_matches_reference_cfg(name):
+    """The programmatic zoo builds the exact same IR as parsing the cfg DSL."""
+    zoo = get_model_spec(name)
+    cfg = netspec_from_cfg(os.path.join(REFERENCE_CFG_DIR, f"{name}.cfg"), name=name)
+    assert zoo.layers == cfg.layers
+    assert (zoo.width, zoo.height, zoo.in_channels) == (cfg.width, cfg.height, cfg.in_channels)
+
+
+def test_num_boxes_at_608():
+    """3*(76^2+38^2+19^2) = 22743 decoded boxes at 608 (SURVEY.md §7)."""
+    spec = get_model_spec("complex_yolov4")
+    assert spec.num_boxes(608) == 22743
+
+
+@pytest.mark.parametrize("name,size", [("complex_yolov4_tiny", 128), ("complex_yolov4", 96)])
+def test_forward_shapes_and_finiteness(name, size):
+    spec = get_model_spec(name)
+    params, state = net.init_params(spec, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, size, size, 3))
+    fwd = jax.jit(lambda p, s, x: net.apply(spec, p, s, x, compute_dtype=jnp.float32))
+    out, heads = fwd(params, state, x)
+    assert out.shape == (2, spec.num_boxes(size), 7 + spec.num_classes)
+    assert bool(jnp.isfinite(out).all())
+    assert bool((out[..., 6] >= 0).all() and (out[..., 6] <= 1).all())
+    assert len(heads) == len(spec.yolo_indices)
+    # w/l are positive (exp-decoded)
+    assert bool((out[..., 2:4] > 0).all())
+
+
+def test_train_mode_updates_bn_state():
+    spec = get_model_spec("complex_yolov4_tiny")
+    params, state = net.init_params(spec, jax.random.PRNGKey(0))
+    fwd = jax.jit(lambda p, s, x: net.apply(spec, p, s, x, train=True, compute_dtype=jnp.float32))
+    (_, _), new_state = fwd(params, state, jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 64, 3)))
+    assert any(bool((new_state[k]["mean"] != state[k]["mean"]).any()) for k in state)
+    # inference mode must not touch state
+    out = net.apply(spec, params, state, jnp.zeros((1, 64, 64, 3)), compute_dtype=jnp.float32)
+    assert isinstance(out, tuple) and len(out) == 2
+
+
+def test_bn_folding_matches_unfolded():
+    spec = get_model_spec("complex_yolov4_tiny")
+    params, state = net.init_params(spec, jax.random.PRNGKey(0))
+    # give BN stats non-trivial values
+    state = {k: {"mean": v["mean"] + 0.1, "var": v["var"] * 1.3} for k, v in state.items()}
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 64, 3))
+    ref, _ = jax.jit(lambda p, s, x: net.apply(spec, p, s, x, compute_dtype=jnp.float32))(params, state, x)
+    fparams = net.fold_batchnorm(spec, params, state)
+    fspec = net.fold_spec(spec)
+    got, _ = jax.jit(lambda p, x: net.apply(fspec, p, {}, x, compute_dtype=jnp.float32))(fparams, x)
+    assert bool(jnp.allclose(ref, got, atol=2e-3, rtol=1e-3))
+
+
+def test_decode_exp_clamp():
+    """exp(w) clamped at 1e3 like the reference (yolo_layer.py:179)."""
+    from complex_yolov4_tpu.models.yolo_head import decode_head
+
+    spec = get_model_spec("complex_yolov4_tiny")
+    head = [l for l in spec.layers if isinstance(l, YoloSpec)][0]
+    feat = jnp.full((1, 4, 4, 3 * 10), 50.0)  # exp(50) would overflow
+    raw = decode_head(feat, head, 128)
+    assert bool(jnp.isfinite(raw["output"]).all())
+    stride = 128 / 4
+    max_w = 1e3 * max(a[0] for a in head.anchors) / stride * stride
+    assert bool((raw["output"][..., 2] <= max_w + 1).all())
+
+
+def test_cfg_parser_errors():
+    with pytest.raises(ValueError):
+        netspec_from_cfg("[convolutional]\nfilters=8\n")
+    with pytest.raises(ValueError):
+        netspec_from_cfg("[net]\nwidth=64\nheight=64\nchannels=3\n[lstm]\nhidden=1\n")
+    with pytest.raises(KeyError):
+        get_model_spec("yolo9000")
