@@ -1,0 +1,159 @@
+"""Bird's-eye-view rasterization: velodyne points -> 608x608x3 pseudo-image.
+
+Behavioral contract (reference: src/data_process/kitti_bev_utils.py:18-76):
+crop to the front boundary (x in [0,50], y in [-25,25], z in [-2.73,1.27]),
+shift z by -minZ, discretize to a 609x609 grid (cell = 50/608 m, y offset
++304), then per cell:
+
+  channel 0 = intensity of the highest point,
+  channel 1 = max height / 4 m,
+  channel 2 = min(1, log(count+1)/log 64)   (density),
+
+cropped to 608x608. Output is HWC (rows = x cells, cols = y cells) — the
+transpose-free NHWC layout for the TPU conv stack; channel order matches the
+reference's CHW index order so imported weights see identical inputs.
+
+The reference builds this with lexsort + np.unique per frame (its data-loader
+hot loop, SURVEY.md §3.4). Here there are two implementations with identical
+observable results:
+
+- `make_bev_map`: vectorized numpy scatter (np.maximum.at / bincount) for the
+  host input pipeline;
+- `make_bev_map_jax`: a jit-able, batched segment-max/sum scatter over padded
+  point sets, so the whole inference path (raster -> net -> NMS) runs as one
+  XLA program on device.
+
+Tie semantics: when several points in a cell share the exact max z, the
+reference keeps the first in (x, y, -z)-lexsort order; these kernels keep the
+max intensity among them. Identical on real float data (exact z ties don't
+occur), documented for completeness.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import kitti as cnf
+
+_GRID = cnf.BEV_HEIGHT + 1  # 609: raster grid before the final crop
+_LOG64 = np.log(64.0)
+
+
+def remove_points_outside(points: np.ndarray, boundary: Optional[Dict[str, float]] = None) -> np.ndarray:
+    """Crop (N, 4) points to the boundary (inclusive) and shift z by -minZ
+    (reference: kitti_bev_utils.py:18-34)."""
+    bc = boundary or cnf.BOUNDARY
+    m = (
+        (points[:, 0] >= bc["minX"]) & (points[:, 0] <= bc["maxX"])
+        & (points[:, 1] >= bc["minY"]) & (points[:, 1] <= bc["maxY"])
+        & (points[:, 2] >= bc["minZ"]) & (points[:, 2] <= bc["maxZ"])
+    )
+    out = points[m].copy()
+    out[:, 2] -= bc["minZ"]
+    return out
+
+
+def _cell_indices_np(points: np.ndarray, discretization: float) -> Tuple[np.ndarray, np.ndarray]:
+    ix = np.floor(points[:, 0] / discretization).astype(np.int64)
+    # int(floor(y/d) + 609/2) truncates the .5 -> floor(y/d) + 304.
+    iy = (np.floor(points[:, 1] / discretization) + _GRID / 2).astype(np.int64)
+    return ix, iy
+
+
+def make_bev_map(points: np.ndarray, discretization: float = cnf.DISCRETIZATION,
+                 boundary: Optional[Dict[str, float]] = None) -> np.ndarray:
+    """Cropped/shifted (N, 4) points -> (608, 608, 3) float32 HWC BEV map."""
+    bc = boundary or cnf.BOUNDARY
+    max_height = float(abs(bc["maxZ"] - bc["minZ"]))
+    ix, iy = _cell_indices_np(points, discretization)
+    cells = ix * _GRID + iy
+
+    n_cells = _GRID * _GRID
+    height = np.zeros(n_cells, np.float64)
+    np.maximum.at(height, cells, points[:, 2])
+    counts = np.bincount(cells, minlength=n_cells)
+
+    # Intensity of the top point: max intensity among points at the cell max z.
+    intensity = np.zeros(n_cells, np.float64)
+    is_top = points[:, 2] >= height[cells]
+    np.maximum.at(intensity, cells[is_top], points[is_top, 3])
+
+    density = np.minimum(1.0, np.log(counts + 1.0) / _LOG64)
+    occupied = counts > 0
+    out = np.zeros((n_cells, 3), np.float32)
+    out[occupied, 0] = intensity[occupied]
+    out[occupied, 1] = height[occupied] / max_height
+    out[occupied, 2] = density[occupied]
+    out = out.reshape(_GRID, _GRID, 3)
+    return np.ascontiguousarray(out[: cnf.BEV_HEIGHT, : cnf.BEV_WIDTH, :])
+
+
+def pad_points(points: np.ndarray, max_points: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad/truncate cropped points to a static (max_points, 4) + mask for the
+    device rasterizer. Truncation keeps the first points (arbitrary subset,
+    ~120k crop covers every KITTI frame, SURVEY.md §7)."""
+    n = min(points.shape[0], max_points)
+    out = np.zeros((max_points, 4), np.float32)
+    out[:n] = points[:n]
+    mask = np.zeros((max_points,), np.float32)
+    mask[:n] = 1.0
+    return out, mask
+
+
+@partial(jax.jit, static_argnames=("bev_size",))
+def make_bev_map_jax(points: jnp.ndarray, mask: jnp.ndarray,
+                     bev_size: int = cnf.BEV_HEIGHT) -> jnp.ndarray:
+    """Device rasterizer: (..., N, 4) padded points + (..., N) mask ->
+    (..., S, S, 3) BEV maps, all scatter ops, fully batched.
+
+    Points must already be cropped/z-shifted (`remove_points_outside`). The
+    leading batch dims are vmapped; a single frame works too.
+    """
+    if points.ndim == 2:
+        return _bev_one(points, mask, bev_size)
+    flat_pts = points.reshape((-1,) + points.shape[-2:])
+    flat_msk = mask.reshape((-1,) + mask.shape[-1:])
+    out = jax.vmap(lambda p, m: _bev_one(p, m, bev_size))(flat_pts, flat_msk)
+    return out.reshape(points.shape[:-2] + out.shape[-3:])
+
+
+def _bev_one(points: jnp.ndarray, mask: jnp.ndarray, bev_size: int) -> jnp.ndarray:
+    grid = bev_size + 1
+    disc = (cnf.BOUNDARY["maxX"] - cnf.BOUNDARY["minX"]) / bev_size
+    max_height = jnp.float32(cnf.MAX_HEIGHT)
+    n_cells = grid * grid
+
+    live = mask > 0.5
+    ix = jnp.floor(points[:, 0] / disc).astype(jnp.int32)
+    iy = (jnp.floor(points[:, 1] / disc) + grid / 2).astype(jnp.int32)
+    ix = jnp.clip(ix, 0, grid - 1)
+    iy = jnp.clip(iy, 0, grid - 1)
+    # Dead points route to a dump cell past the crop (row 608 is discarded).
+    cells = jnp.where(live, ix * grid + iy, n_cells - 1)
+
+    z = jnp.where(live, points[:, 2], -1.0)
+    r = jnp.where(live, points[:, 3], 0.0)
+
+    height = jnp.zeros((n_cells,), jnp.float32).at[cells].max(z, mode="drop")
+    counts = jnp.zeros((n_cells,), jnp.float32).at[cells].add(mask, mode="drop")
+
+    is_top = live & (z >= height[cells])
+    intensity = (
+        jnp.zeros((n_cells,), jnp.float32)
+        .at[jnp.where(is_top, cells, n_cells - 1)]
+        .max(jnp.where(is_top, r, 0.0), mode="drop")
+    )
+
+    density = jnp.minimum(1.0, jnp.log(counts + 1.0) / _LOG64)
+    occupied = counts > 0
+    height = jnp.where(occupied, jnp.maximum(height, 0.0) / max_height, 0.0)
+    intensity = jnp.where(occupied, intensity, 0.0)
+    density = jnp.where(occupied, density, 0.0)
+
+    full = jnp.stack([intensity, height, density], axis=-1).reshape(grid, grid, 3)
+    return full[:bev_size, :bev_size, :]

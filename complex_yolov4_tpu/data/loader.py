@@ -1,0 +1,183 @@
+"""Batch iteration: deterministic sharded sampling, multiscale, prefetch.
+
+Replaces the reference's DataLoader + DistributedSampler stack
+(reference: src/data_process/kitti_dataloader.py:22-76) with:
+
+- a seeded per-epoch permutation, sliced per host (`shard_id`/`num_shards`)
+  so every host reads a disjoint static subset — the SPMD input-sharding
+  pattern that stands in for DistributedSampler + set_epoch;
+- fixed-shape numpy batches (image NHWC, targets (B, T, 7), mask (B, T));
+- the reference's multiscale schedule: a new size from
+  {S-96 .. S+96 step 32} every 10 batches, seeded per epoch
+  (reference: kitti_dataset.py:216-235), applied as a host-side resize;
+- a background-thread prefetcher so raster/augment work overlaps device
+  compute (double buffering; the reference used worker processes).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import cv2
+import numpy as np
+
+from ..config import kitti as cnf
+from .dataset import KittiDataset
+from .transforms import default_aug_transforms, default_lidar_transforms
+
+_MULTISCALE_EVERY = 10  # batches between size redraws (reference parity)
+
+
+def _resize_batch(imgs: np.ndarray, size: int) -> np.ndarray:
+    if imgs.shape[1] == size:
+        return imgs
+    out = np.empty((imgs.shape[0], size, size, imgs.shape[3]), imgs.dtype)
+    for i in range(imgs.shape[0]):
+        out[i] = cv2.resize(imgs[i], (size, size), interpolation=cv2.INTER_LINEAR)
+    return out
+
+
+class BatchIterator:
+    """Deterministic epoch iterator over fixed-shape BEV batches."""
+
+    def __init__(
+        self,
+        dataset: KittiDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        multiscale: bool = False,
+        seed: int = 2020,
+        shard_id: int = 0,
+        num_shards: int = 1,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.multiscale = multiscale and not dataset.mosaic
+        self.seed = seed
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.prefetch = prefetch
+        self.epoch = 0
+        base = dataset.img_size
+        self.size_choices = list(range(base - 3 * 32, base + 3 * 32 + 1, 32))
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        rng = np.random.default_rng((self.seed, self.epoch))
+        idx = rng.permutation(n) if self.shuffle else np.arange(n)
+        if self.num_shards > 1:
+            # Pad to a multiple of num_shards by wrapping (every shard sees
+            # the same number of samples; DistributedSampler semantics).
+            per = -(-n // self.num_shards)
+            padded = np.concatenate([idx, idx[: per * self.num_shards - n]])
+            idx = padded[self.shard_id::self.num_shards]
+        return idx
+
+    def __len__(self) -> int:
+        n = len(self._epoch_indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _make_batch(self, indices: np.ndarray, batch_idx: int, size: int) -> Dict[str, np.ndarray]:
+        imgs, tgts, masks, ids = [], [], [], []
+        for j, index in enumerate(indices):
+            rng = np.random.default_rng((self.seed, self.epoch, int(index), j))
+            _, img, targets, mask = self.dataset.get_item(int(index), rng)
+            if img.shape[0] != size:
+                img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
+            imgs.append(img)
+            ids.append(self.dataset.sample_id_list[int(index)])
+            if targets is not None:
+                tgts.append(targets)
+                masks.append(mask)
+        batch = {
+            "image": np.stack(imgs).astype(np.float32),
+            "sample_ids": np.asarray(ids, np.int64),
+        }
+        if tgts:
+            batch["targets"] = np.stack(tgts).astype(np.float32)
+            batch["target_mask"] = np.stack(masks).astype(np.float32)
+        return batch
+
+    def _iter_sync(self) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self._epoch_indices()
+        n_batches = len(self)
+        size_rng = np.random.default_rng((self.seed, self.epoch, 7919))
+        size = self.dataset.img_size
+        for b in range(n_batches):
+            if self.multiscale and b % _MULTISCALE_EVERY == 0:
+                size = int(size_rng.choice(self.size_choices))
+            chunk = indices[b * self.batch_size : (b + 1) * self.batch_size]
+            if len(chunk) < self.batch_size and self.drop_last:
+                return
+            yield self._make_batch(chunk, b, size if self.multiscale else self.dataset.img_size)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.prefetch <= 0:
+            yield from self._iter_sync()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error: list = []
+
+        def producer():
+            try:
+                for item in self._iter_sync():
+                    q.put(item)
+            except BaseException as e:  # surfaced in the consumer
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
+
+
+def create_train_loader(dataset_dir: str, batch_size: int, *,
+                        num_samples: Optional[int] = None,
+                        multiscale: bool = False, mosaic: bool = False,
+                        random_padding: bool = False, seed: int = 2020,
+                        shard_id: int = 0, num_shards: int = 1,
+                        replicate_reference_bug: bool = True) -> BatchIterator:
+    """Training pipeline with the reference augmentation recipe
+    (reference: kitti_dataloader.py:22-47)."""
+    ds = KittiDataset(
+        dataset_dir, mode="train",
+        lidar_transforms=default_lidar_transforms(replicate_reference_bug),
+        aug_transforms=default_aug_transforms(),
+        num_samples=num_samples, mosaic=mosaic, random_padding=random_padding,
+    )
+    return BatchIterator(ds, batch_size, shuffle=True, multiscale=multiscale,
+                         seed=seed, shard_id=shard_id, num_shards=num_shards)
+
+
+def create_val_loader(dataset_dir: str, batch_size: int, *,
+                      num_samples: Optional[int] = None, seed: int = 2020,
+                      shard_id: int = 0, num_shards: int = 1) -> BatchIterator:
+    """Validation pipeline: no augmentation, no multiscale
+    (reference: kitti_dataloader.py:50-61)."""
+    ds = KittiDataset(dataset_dir, mode="val", num_samples=num_samples)
+    return BatchIterator(ds, batch_size, shuffle=False, drop_last=False,
+                         seed=seed, shard_id=shard_id, num_shards=num_shards)
+
+
+def create_test_loader(dataset_dir: str, batch_size: int, *,
+                       num_samples: Optional[int] = None) -> BatchIterator:
+    """Test/demo pipeline: BEV only (reference: kitti_dataloader.py:64-76)."""
+    ds = KittiDataset(dataset_dir, mode="test", num_samples=num_samples)
+    return BatchIterator(ds, batch_size, shuffle=False, drop_last=False, prefetch=0)

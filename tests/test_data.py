@@ -1,0 +1,251 @@
+"""Data-layer tests: BEV raster parity, target codecs, transforms, datasets.
+
+The BEV oracle below follows the reference algorithm (lexsort + unique,
+reference: src/data_process/kitti_bev_utils.py:37-76) so both production
+implementations (numpy scatter + jax segment ops) are checked against the
+reference's observable output, not each other.
+"""
+
+import numpy as np
+import pytest
+
+from complex_yolov4_tpu.config import kitti as cnf
+from complex_yolov4_tpu.data import bev, synthetic, targets as tgt, transforms as tfm
+from complex_yolov4_tpu.data.dataset import KittiDataset
+from complex_yolov4_tpu.data.loader import BatchIterator, create_train_loader, create_val_loader
+
+
+def reference_bev_oracle(points):
+    """Straight transcription of the reference's lexsort/unique algorithm
+    (test oracle only)."""
+    grid = cnf.BEV_HEIGHT + 1
+    pc = points.copy()
+    pc[:, 0] = np.int_(np.floor(pc[:, 0] / cnf.DISCRETIZATION))
+    pc[:, 1] = np.int_(np.floor(pc[:, 1] / cnf.DISCRETIZATION) + grid / 2)
+    idx = np.lexsort((-pc[:, 2], pc[:, 1], pc[:, 0]))
+    pc = pc[idx]
+    height = np.zeros((grid, grid))
+    _, first = np.unique(pc[:, 0:2], axis=0, return_index=True)
+    top = pc[first]
+    height[np.int_(top[:, 0]), np.int_(top[:, 1])] = top[:, 2] / cnf.MAX_HEIGHT
+    intensity = np.zeros((grid, grid))
+    density = np.zeros((grid, grid))
+    _, first, counts = np.unique(pc[:, 0:2], axis=0, return_index=True, return_counts=True)
+    top = pc[first]
+    ncounts = np.minimum(1.0, np.log(counts + 1) / np.log(64))
+    intensity[np.int_(top[:, 0]), np.int_(top[:, 1])] = top[:, 3]
+    density[np.int_(top[:, 0]), np.int_(top[:, 1])] = ncounts
+    out = np.stack([intensity, height, density], axis=-1)
+    return out[: cnf.BEV_HEIGHT, : cnf.BEV_WIDTH, :].astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(42)
+    points, boxes, classes = synthetic.sample_scene(rng)
+    return points, boxes, classes
+
+
+def test_remove_points_outside(scene):
+    points, _, _ = scene
+    cropped = bev.remove_points_outside(points)
+    assert cropped.shape[0] > 1000
+    assert cropped[:, 0].min() >= 0 and cropped[:, 0].max() <= 50
+    assert cropped[:, 2].min() >= 0 and cropped[:, 2].max() <= 4.0
+
+
+def test_bev_numpy_matches_reference_oracle(scene):
+    points, _, _ = scene
+    cropped = bev.remove_points_outside(points)
+    got = bev.make_bev_map(cropped)
+    ref = reference_bev_oracle(cropped)
+    assert got.shape == (608, 608, 3)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_bev_jax_matches_numpy(scene):
+    points, _, _ = scene
+    cropped = bev.remove_points_outside(points)
+    host = bev.make_bev_map(cropped)
+    padded, mask = bev.pad_points(cropped, 120_000)
+    dev = np.asarray(bev.make_bev_map_jax(padded, mask))
+    np.testing.assert_allclose(dev, host, atol=1e-5)
+
+
+def test_bev_jax_batched(scene):
+    points, _, _ = scene
+    cropped = bev.remove_points_outside(points)
+    padded, mask = bev.pad_points(cropped, 20_000)
+    batch_pts = np.stack([padded, padded])
+    batch_msk = np.stack([mask, mask])
+    out = np.asarray(bev.make_bev_map_jax(batch_pts, batch_msk))
+    assert out.shape == (2, 608, 608, 3)
+    np.testing.assert_allclose(out[0], out[1], atol=0)
+
+
+def test_build_targets_encoding(scene):
+    _, boxes, classes = scene
+    labels = np.concatenate([classes[:, None].astype(np.float64), boxes], axis=1)
+    # lidar (x,y,z,h,w,l,rz) rows with ry := rz for the codec's 2pi-yaw rule
+    targets, mask = tgt.build_yolo_targets(labels)
+    n = int(mask.sum())
+    assert n > 0
+    live = targets[mask > 0]
+    assert np.all(live[:, 1:5] >= 0) and np.all(live[:, 1:5] <= 1)
+    np.testing.assert_allclose(live[:, 5] ** 2 + live[:, 6] ** 2, 1.0, atol=1e-5)
+    # axis swap: column 1 spans lidar-y, column 2 spans lidar-x
+    i = 0
+    cl, x, y = labels[i, 0], labels[i, 1], labels[i, 2]
+    assert live.shape[0] == np.sum(
+        (labels[:, 1] > 0) & (labels[:, 1] < 50) & (np.abs(labels[:, 2]) < 25))
+
+
+def test_targets_roundtrip():
+    labels = np.array([
+        [0, 20.0, 5.0, -1.0, 1.5, 1.7, 4.0, 0.3],
+        [1, 10.0, -8.0, -1.2, 1.8, 0.6, 0.8, -1.1],
+        [2, 35.0, 12.0, -0.9, 1.4, 0.6, 1.8, 2.5],
+    ])
+    targets, mask = tgt.build_yolo_targets(labels)
+    rec = tgt.inverse_yolo_targets(targets[mask > 0])
+    np.testing.assert_allclose(rec[:, 0], labels[:, 0])
+    np.testing.assert_allclose(rec[:, 1:3], labels[:, 1:3], atol=1e-5)  # x, y
+    np.testing.assert_allclose(rec[:, 5], labels[:, 5], atol=1e-5)      # w
+    np.testing.assert_allclose(rec[:, 6], labels[:, 6], atol=1e-5)      # l
+    # yaw parity: reference decode emits -atan2(im,re) - 2pi == ry (mod 2pi)
+    dyaw = (rec[:, 7] - labels[:, 7]) % (2 * np.pi)
+    dyaw = np.minimum(dyaw, 2 * np.pi - dyaw)
+    np.testing.assert_allclose(dyaw, 0.0, atol=1e-5)
+
+
+def test_camera_lidar_box_roundtrip():
+    rng = np.random.default_rng(0)
+    boxes = np.stack([
+        rng.uniform(-10, 10, 5), rng.uniform(-2, 0, 5), rng.uniform(5, 40, 5),
+        rng.uniform(1, 2, 5), rng.uniform(0.5, 2, 5), rng.uniform(1, 5, 5),
+        rng.uniform(-3, 3, 5),
+    ], axis=1)
+    lidar = tfm.camera_to_lidar_box(boxes)
+    back = tfm.lidar_to_camera_box(lidar)
+    np.testing.assert_allclose(back, boxes, atol=1e-9)
+
+
+def test_rotation_consistency():
+    """Rotating points and boxes together keeps in-box points in-box."""
+    rng = np.random.default_rng(1)
+    box = np.array([[10.0, 2.0, -1.0, 1.5, 2.0, 4.0, 0.5]])
+    # points inside the box
+    local = rng.uniform(-0.45, 0.45, (50, 3)) * np.array([4.0, 2.0, 1.5])
+    c, s = np.cos(0.5), np.sin(0.5)
+    world = local @ np.array([[c, s, 0], [-s, c, 0], [0, 0, 1]]) + box[0, :3]
+    pts = np.concatenate([world, np.ones((50, 1))], axis=1)
+
+    rot = tfm.RandomRotation(limit_angle_deg=30, p=1.0)
+    new_pts, new_box = rot(np.random.default_rng(5), pts, box)
+    # verify points still inside the rotated box: transform into box frame
+    nb = new_box[0]
+    d = new_pts[:, :2] - nb[:2]
+    c2, s2 = np.cos(nb[6]), np.sin(nb[6])
+    lx = d[:, 0] * c2 + d[:, 1] * s2
+    ly = -d[:, 0] * s2 + d[:, 1] * c2
+    assert np.all(np.abs(lx) <= nb[5] / 2 + 1e-6)
+    assert np.all(np.abs(ly) <= nb[4] / 2 + 1e-6)
+
+
+def test_scaling_quirk():
+    sc = tfm.RandomScaling(p=1.0, replicate_reference_bug=True)
+    pts = np.ones((4, 4))
+    boxes = np.ones((1, 7))
+    new_pts, _ = sc(np.random.default_rng(3), pts, boxes)
+    np.testing.assert_allclose(new_pts[:, :3], 0.95)
+    sc2 = tfm.RandomScaling(p=1.0, replicate_reference_bug=False)
+    vals = set()
+    for k in range(5):
+        p2, _ = sc2(np.random.default_rng(k), np.ones((1, 4)), boxes.copy())
+        vals.add(round(float(p2[0, 0]), 6))
+    assert len(vals) > 1
+
+
+def test_hflip_and_cutout():
+    img = np.random.default_rng(0).uniform(size=(64, 64, 3)).astype(np.float32)
+    targets = np.zeros((8, 7), np.float32)
+    targets[0] = [0, 0.25, 0.5, 0.1, 0.1, 0.6, 0.8]
+    mask = np.zeros(8, np.float32)
+    mask[0] = 1
+
+    flip = tfm.HorizontalFlip(p=1.1)  # always
+    img2, (t2, m2) = flip(np.random.default_rng(1), img, (targets, mask))
+    np.testing.assert_allclose(img2, img[:, ::-1, :])
+    assert t2[0, 1] == pytest.approx(0.75)
+    assert t2[0, 5] == pytest.approx(-0.6)
+
+    cut = tfm.Cutout(n_holes=1, ratio=2.0, fill_value=0.0, p=1.1)  # hole covers all
+    img3, (t3, m3) = cut(np.random.default_rng(2), img, (targets, mask))
+    assert np.all(img3 == 0)
+    assert m3.sum() == 0  # covered target dropped
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti")
+    return synthetic.generate_kitti_dataset(str(root), num_train=6, num_val=3, num_test=2, seed=1)
+
+
+def test_synthetic_dataset_loads(kitti_root):
+    ds = KittiDataset(kitti_root, mode="train")
+    assert len(ds) > 0
+    path, img, targets, mask = ds.load_sample(0, np.random.default_rng(0))
+    assert img.shape == (608, 608, 3) and img.dtype == np.float32
+    assert img.min() >= 0 and img.max() <= 1.0 + 1e-6
+    assert int(mask.sum()) >= 1
+    live = targets[mask > 0]
+    assert np.all(live[:, 1:5] > 0) and np.all(live[:, 1:5] < 1)
+
+
+def test_dataset_objects_land_on_bev(kitti_root):
+    """Object centers must coincide with occupied BEV cells (pipeline sanity)."""
+    ds = KittiDataset(kitti_root, mode="train")
+    _, img, targets, mask = ds.load_sample(0, np.random.default_rng(0))
+    occupancy = img[..., 2] > 0
+    for t in targets[mask > 0]:
+        row = int(t[2] * 608)   # by spans lidar-x = rows
+        col = int(t[1] * 608)   # bx spans lidar-y = cols
+        window = occupancy[max(row - 8, 0): row + 8, max(col - 8, 0): col + 8]
+        assert window.any(), f"no points near target at ({row}, {col})"
+
+
+def test_mosaic(kitti_root):
+    ds = KittiDataset(kitti_root, mode="train", mosaic=True)
+    paths, canvas, targets, mask = ds.load_mosaic(0, np.random.default_rng(0))
+    assert canvas.shape == (1216, 1216, 3)
+    assert len(paths) == 4
+    live = targets[mask > 0]
+    assert live.shape[0] > 0
+    assert np.all(live[:, 1:3] >= 0) and np.all(live[:, 1:3] <= 1)
+
+
+def test_loader_determinism_and_shapes(kitti_root):
+    mk = lambda: create_train_loader(kitti_root, batch_size=2, seed=7)
+    b1 = next(iter(mk()))
+    b2 = next(iter(mk()))
+    assert b1["image"].shape == (2, 608, 608, 3)
+    assert b1["targets"].shape == (2, 64, 7)
+    assert b1["target_mask"].shape == (2, 64)
+    np.testing.assert_allclose(b1["image"], b2["image"])
+    np.testing.assert_allclose(b1["targets"], b2["targets"])
+
+
+def test_loader_sharding(kitti_root):
+    full = create_val_loader(kitti_root, batch_size=1)
+    ids = [int(b["sample_ids"][0]) for b in full]
+    shard_ids = []
+    for s in range(2):
+        it = create_val_loader(kitti_root, batch_size=1, shard_id=s, num_shards=2)
+        shard_ids += [int(b["sample_ids"][0]) for b in it]
+    assert set(ids) == set(shard_ids)
+
+
+def test_loader_multiscale(kitti_root):
+    loader = create_train_loader(kitti_root, batch_size=2, multiscale=True, seed=3)
+    sizes = {b["image"].shape[1] for b in loader}
+    assert sizes.issubset({512, 544, 576, 608, 640, 672, 704})
