@@ -91,7 +91,9 @@ def _conv(x: jnp.ndarray, w: jnp.ndarray, stride: int, pad: int,
 
 def _maxpool(x: jnp.ndarray, size: int, stride: int) -> jnp.ndarray:
     """Darknet maxpool variants (reference: src/models/darknet2pytorch.py:31-61,279-291)."""
-    neg_inf = jnp.asarray(-jnp.inf, x.dtype)
+    # Scalar -inf init keeps reduce_window on the max-monoid path, which is
+    # the one with a reverse-mode rule (array inits hit the generic path).
+    neg_inf = -float(np.inf)
     if stride == size:
         return jax.lax.reduce_window(
             x, neg_inf, jax.lax.max, (1, size, size, 1), (1, stride, stride, 1), "VALID")
