@@ -1,0 +1,23 @@
+"""SPMD parallelism: device mesh, shardings, multi-host init."""
+
+from .mesh import (
+    DATA_AXIS,
+    data_sharding,
+    initialize_distributed,
+    local_shard_info,
+    make_mesh,
+    replicate_tree,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "data_sharding",
+    "initialize_distributed",
+    "local_shard_info",
+    "make_mesh",
+    "replicate_tree",
+    "replicated",
+    "shard_batch",
+]

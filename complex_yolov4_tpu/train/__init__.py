@@ -1,0 +1,27 @@
+"""Training runtime: optimizer, schedules, jitted step, checkpointing."""
+
+from .checkpoint import (
+    latest_epoch,
+    restore_checkpoint,
+    restore_params_only,
+    save_checkpoint,
+)
+from .optimizer import create_optimizer, set_learning_rate, weight_decay_mask
+from .schedules import cosine_factor, make_lr_fn, multi_step_factor
+from .trainer import TrainState, make_eval_step, make_train_step
+
+__all__ = [
+    "TrainState",
+    "cosine_factor",
+    "create_optimizer",
+    "latest_epoch",
+    "make_eval_step",
+    "make_lr_fn",
+    "make_train_step",
+    "multi_step_factor",
+    "restore_checkpoint",
+    "restore_params_only",
+    "save_checkpoint",
+    "set_learning_rate",
+    "weight_decay_mask",
+]

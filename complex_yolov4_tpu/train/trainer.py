@@ -1,0 +1,122 @@
+"""Jitted train step + training state.
+
+The reference's hot loop (reference: src/train.py:183-244) interleaves
+host-side Python with per-batch D2H copies; here one `TrainState` pytree and
+one jitted function carry the whole step — forward, loss, backward, optimizer
+update, BN-state update, metric reduction — and run fully on device. Under a
+data mesh the same step is sharded (batch over `data`, state replicated) and
+XLA inserts the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses.yolo_loss import network_loss
+from ..models import network as net
+from ..models.spec import NetSpec
+from ..parallel import mesh as pmesh
+from .optimizer import set_learning_rate
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    """Replicated training state: everything the step mutates."""
+
+    params: Dict[str, Any]
+    bn_state: Dict[str, Any]
+    opt_state: Any
+    global_step: jnp.ndarray  # scalar int32, counts optimizer iterations
+
+    @classmethod
+    def create(cls, params, bn_state, tx: optax.GradientTransformation):
+        return cls(
+            params=params,
+            bn_state=bn_state,
+            opt_state=tx.init(params),
+            global_step=jnp.zeros((), jnp.int32),
+        )
+
+
+def make_train_step(
+    spec: NetSpec,
+    tx: optax.GradientTransformation,
+    *,
+    use_giou_loss: bool = False,
+    compute_dtype=jnp.bfloat16,
+    mesh=None,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray], jnp.ndarray],
+              Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the jitted (state, batch, lr) -> (state, metrics) step.
+
+    With `mesh`, the step is compiled with batch inputs sharded over the
+    `data` axis and state replicated — the DDP equivalent, minus DDP.
+    """
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], lr: jnp.ndarray):
+        images = batch["image"]
+        targets = batch["targets"]
+        tmask = batch["target_mask"]
+
+        def loss_fn(params):
+            (_, head_raw), new_bn = net.apply(
+                spec, params, state.bn_state, images, train=True,
+                compute_dtype=compute_dtype)
+            total, head_metrics = network_loss(
+                spec, head_raw, targets, tmask, use_giou_loss=use_giou_loss)
+            return total, (new_bn, head_metrics)
+
+        (loss, (new_bn, head_metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        opt_state = set_learning_rate(state.opt_state, lr)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        metrics = {"loss": loss, "lr": lr}
+        for h, hm in enumerate(head_metrics):
+            for k, v in hm.items():
+                metrics[f"head{h}/{k}"] = v
+        new_state = TrainState(
+            params=params,
+            bn_state=new_bn,
+            opt_state=opt_state,
+            global_step=state.global_step + 1,
+        )
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    repl = pmesh.replicated(mesh)
+    data = pmesh.data_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl, {"image": data, "targets": data, "target_mask": data}, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(spec: NetSpec, *, use_giou_loss: bool = False,
+                   compute_dtype=jnp.float32):
+    """Jitted validation loss (no optimizer/BN update)."""
+
+    @jax.jit
+    def step(params, bn_state, batch):
+        (_, head_raw), _ = net.apply(
+            spec, params, bn_state, batch["image"], train=True,
+            compute_dtype=compute_dtype)
+        total, head_metrics = network_loss(
+            spec, head_raw, batch["targets"], batch["target_mask"],
+            use_giou_loss=use_giou_loss)
+        return total, head_metrics
+
+    return step

@@ -1,0 +1,122 @@
+"""Training runtime tests: schedules, optimizer grouping, train step on a
+single device and on an 8-device data mesh, checkpoint round trip.
+
+Multi-device coverage the reference never had (SURVEY.md §4): the mesh tests
+run on the 8 virtual CPU devices from conftest.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from complex_yolov4_tpu import train as T
+from complex_yolov4_tpu.models import get_model_spec
+from complex_yolov4_tpu.models import network as net
+from complex_yolov4_tpu.parallel import make_mesh, replicate_tree, shard_batch
+
+
+def test_multi_step_schedule_shape():
+    f = T.multi_step_factor(50, (1500, 4000))
+    assert f(0) == 0
+    assert f(25) == pytest.approx((25 / 50) ** 4)
+    assert f(50) == 1.0 and f(1499) == 1.0
+    assert f(1500) == 0.1 and f(3999) == 0.1
+    assert f(4000) == 0.01
+
+
+def test_cosine_schedule_shape():
+    f = T.cosine_factor(300)
+    assert f(0) == pytest.approx(1.0)
+    assert f(300) == pytest.approx(0.1)
+    assert f(150) == pytest.approx(0.55)
+
+
+def test_weight_decay_mask():
+    spec = get_model_spec("complex_yolov4_tiny")
+    params, _ = net.init_params(spec, jax.random.PRNGKey(0))
+    mask = T.weight_decay_mask(params)
+    for layer, entry in params.items():
+        for name in entry:
+            assert mask[layer][name] == (name == "w"), (layer, name)
+
+
+def _tiny_setup(batch=2, size=64, subdivisions=1, mesh=None):
+    spec = get_model_spec("complex_yolov4_tiny", width=size, height=size)
+    params, bn_state = net.init_params(spec, jax.random.PRNGKey(0))
+    tx = T.create_optimizer(params, optimizer_type="sgd", subdivisions=subdivisions)
+    state = T.TrainState.create(params, bn_state, tx)
+    step = T.make_train_step(spec, tx, compute_dtype=jnp.float32, mesh=mesh)
+    rng = np.random.default_rng(0)
+    batch_data = {
+        "image": rng.uniform(size=(batch, size, size, 3)).astype(np.float32),
+        "targets": np.zeros((batch, 8, 7), np.float32),
+        "target_mask": np.zeros((batch, 8), np.float32),
+    }
+    for b in range(batch):
+        batch_data["targets"][b, 0] = [0, 0.5, 0.5, 0.1, 0.2, 0.0, 1.0]
+        batch_data["target_mask"][b, 0] = 1
+    return spec, state, step, batch_data
+
+
+def test_train_step_updates_params_and_decreases_loss():
+    _, state, step, batch = _tiny_setup()
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jnp.float32(1e-3))
+        losses.append(float(metrics["loss"]))
+    assert int(state.global_step) == 8
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # overfits a fixed batch quickly
+
+
+def test_gradient_accumulation_semantics():
+    """With subdivisions=k, params change only every k micro-steps."""
+    _, state, step, batch = _tiny_setup(subdivisions=2)
+    p0 = jax.tree.leaves(state.params)[0].copy()
+    state, _ = step(state, batch, jnp.float32(1e-3))
+    p1 = jax.tree.leaves(state.params)[0]
+    assert bool(jnp.allclose(p0, p1))  # accumulating, no update yet
+    state, _ = step(state, batch, jnp.float32(1e-3))
+    p2 = jax.tree.leaves(state.params)[0]
+    assert not bool(jnp.allclose(p0, p2))  # applied after 2nd micro-step
+
+
+def test_train_step_on_data_mesh():
+    """Same step, 8-device mesh: batch sharded, params replicated, loss
+    matches the single-device run (allreduce correctness)."""
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    _, state_s, step_s, batch = _tiny_setup(batch=8)
+    _, state_m, step_m, _ = _tiny_setup(batch=8, mesh=mesh)
+    state_m = replicate_tree(mesh, state_m)
+    sharded = shard_batch(mesh, batch)
+
+    state_s, m_s = step_s(state_s, batch, jnp.float32(1e-3))
+    state_m, m_m = step_m(state_m, sharded, jnp.float32(1e-3))
+    assert float(m_s["loss"]) == pytest.approx(float(m_m["loss"]), rel=1e-4)
+    ps = jax.tree.leaves(state_s.params)[0]
+    pm = jax.tree.leaves(state_m.params)[0]
+    # fp32 reduction order differs between sharded/unsharded allreduce
+    np.testing.assert_allclose(np.asarray(ps), np.asarray(pm), atol=5e-4)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    _, state, step, batch = _tiny_setup()
+    state, _ = step(state, batch, jnp.float32(1e-3))
+    path = T.save_checkpoint(str(tmp_path), state, epoch=3)
+    assert T.latest_epoch(str(tmp_path)) == 3
+
+    _, template, _, _ = _tiny_setup()
+    restored, epoch, _ = T.restore_checkpoint(path, template)
+    assert epoch == 3
+    assert int(restored.global_step) == 1
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # restored state steps forward
+    restored, metrics = step(restored, batch, jnp.float32(1e-3))
+    assert np.isfinite(float(metrics["loss"]))
+
+    params_only = T.restore_params_only(path)
+    assert set(params_only.keys()) == set(state.params.keys())
