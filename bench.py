@@ -1,0 +1,76 @@
+"""End-to-end inference benchmark on the real chip.
+
+Measures the full BASELINE.json pipeline — BEV rasterization (device scatter)
++ complex_yolov4 forward (bf16, BN folded) + rotated NMS — at 608x608 and
+prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is frames/sec against the 1500 f/s/chip north-star target.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from complex_yolov4_tpu.data import bev as bev_mod
+    from complex_yolov4_tpu.data import synthetic
+    from complex_yolov4_tpu.models import get_model_spec
+    from complex_yolov4_tpu.models import network as net
+    from complex_yolov4_tpu.ops.nms import nms_batch
+
+    spec = get_model_spec("complex_yolov4")
+    params, state = net.init_params(spec, jax.random.PRNGKey(0))
+    fparams = net.fold_batchnorm(spec, params, state)
+    fspec = net.fold_spec(spec)
+
+    max_pts = 32_768
+    rng = np.random.default_rng(0)
+    pts_batch = np.zeros((batch, max_pts, 4), np.float32)
+    msk_batch = np.zeros((batch, max_pts), np.float32)
+    for b in range(batch):
+        pts, _, _ = synthetic.sample_scene(np.random.default_rng(b))
+        cropped = bev_mod.remove_points_outside(pts)
+        pts_batch[b], msk_batch[b] = bev_mod.pad_points(cropped, max_pts)
+
+    @jax.jit
+    def pipeline(params, points, mask):
+        images = bev_mod.make_bev_map_jax(points, mask)
+        decoded, _ = net.apply(fspec, params, {}, images,
+                               compute_dtype=jnp.bfloat16)
+        return nms_batch(decoded, 0.5, 0.5, 128)
+
+    points = jnp.asarray(pts_batch)
+    mask = jnp.asarray(msk_batch)
+    fparams = jax.device_put(fparams)
+
+    for _ in range(warmup):
+        dets, masks = pipeline(fparams, points, mask)
+    jax.block_until_ready((dets, masks))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        dets, masks = pipeline(fparams, points, mask)
+    jax.block_until_ready((dets, masks))
+    dt = time.perf_counter() - t0
+
+    fps = batch * iters / dt
+    print(json.dumps({
+        "metric": "bev_e2e_inference_608",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / 1500.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,69 @@
+"""Shared CLI plumbing: model resolution, weight loading, dataset setup."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..data import synthetic
+from ..models import get_model_spec, netspec_from_cfg
+from ..models import network as net
+from ..models.spec import NetSpec
+from ..models import weights_io as wio
+
+
+def resolve_spec(config) -> NetSpec:
+    """Model topology from --model (zoo) or --cfgfile (darknet DSL)."""
+    if getattr(config, "cfgfile", None):
+        return netspec_from_cfg(config.cfgfile,
+                                name=os.path.basename(config.cfgfile))
+    return get_model_spec(config.model)
+
+
+def load_weights(spec: NetSpec, path: str) -> Tuple[dict, dict]:
+    """Dispatch on checkpoint flavor: darknet `.weights`, torch `.pth`, or an
+    orbax checkpoint directory."""
+    if path.endswith(".weights"):
+        return wio.load_darknet_weights(spec, path)
+    if path.endswith((".pth", ".pt")):
+        return wio.load_torch_state_dict(spec, path)
+    if os.path.isdir(path):
+        from ..train.checkpoint import restore_params_only
+
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(path)
+        params = jax.tree.map(jnp.asarray, restored["params"])
+        state = jax.tree.map(jnp.asarray, restored["bn_state"])
+        return params, state
+    raise ValueError(f"unrecognized checkpoint format: {path!r}")
+
+
+def init_or_load(spec: NetSpec, pretrained_path: Optional[str], seed: int = 0):
+    if pretrained_path:
+        return load_weights(spec, pretrained_path)
+    return net.init_params(spec, jax.random.PRNGKey(seed))
+
+
+def resolve_dataset_dir(config) -> str:
+    """Return the dataset root; with --synthetic, generate one on demand."""
+    if getattr(config, "synthetic", False):
+        root = os.path.join(tempfile.gettempdir(),
+                            f"synthetic_kitti_{config.synthetic_frames}")
+        marker = os.path.join(root, "ImageSets", "train.txt")
+        if not os.path.exists(marker):
+            n = config.synthetic_frames
+            synthetic.generate_kitti_dataset(
+                root, num_train=n, num_val=max(n // 2, 1),
+                num_test=max(n // 4, 1), seed=0)
+        return root
+    return config.dataset_dir
+
+
+def compute_dtype_of(config):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[config.compute_dtype]

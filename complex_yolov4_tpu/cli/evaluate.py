@@ -1,0 +1,46 @@
+"""Evaluation CLI (reference entry point parity: src/evaluate.py).
+
+Usage (synthetic smoke):
+    python -m complex_yolov4_tpu.cli.evaluate --synthetic \
+        --model complex_yolov4_tiny
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..config.kitti import CLASS_NAMES
+from ..config.runtime import parse_eval_config
+from ..data import create_val_loader
+from ..evaluation import evaluate_map, make_inference_fn
+from . import common
+
+
+def main(argv=None) -> None:
+    configs = parse_eval_config(argv)
+    dataset_dir = common.resolve_dataset_dir(configs)
+    spec = common.resolve_spec(configs)
+    params, state = common.init_or_load(spec, configs.pretrained_path)
+    infer = make_inference_fn(
+        spec, conf_thresh=configs.conf_thresh, nms_thresh=configs.nms_thresh,
+        compute_dtype=common.compute_dtype_of(configs))
+    loader = create_val_loader(dataset_dir, configs.batch_size,
+                               num_samples=configs.num_samples)
+
+    out = evaluate_map(
+        infer, params, state, loader, iou_threshold=configs.iou_thresh,
+        progress=lambda done, total: print(f"\reval {done}/{total}", end="",
+                                           flush=True))
+    print()
+    for i, cls_idx in enumerate(out["ap_class"]):
+        name = CLASS_NAMES[int(cls_idx)] if int(cls_idx) < len(CLASS_NAMES) else str(cls_idx)
+        print(f"\t>>>\t Class {int(cls_idx)} ({name}): precision = {out['precision'][i]:.4f}, "
+              f"recall = {out['recall'][i]:.4f}, AP = {out['AP'][i]:.4f}, "
+              f"f1: {out['f1'][i]:.4f}")
+    print(f"\nmAP: {float(out['mAP']):.4f}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,156 @@
+"""Training CLI (reference entry point parity: src/train.py).
+
+Single program covers every scale the reference needed three code paths for
+(single GPU / DataParallel / multi-node DDP): the jitted step runs on one
+chip, all local chips, or a multi-host slice depending only on the mesh.
+
+Usage (synthetic smoke):
+    python -m complex_yolov4_tpu.cli.train --synthetic --num_epochs 1 \
+        --model complex_yolov4_tiny --batch_size 2
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import train as T
+from ..config.runtime import parse_train_config
+from ..data import create_train_loader, create_val_loader
+from ..evaluation import evaluate_map, make_inference_fn
+from ..losses.yolo_loss import network_loss  # noqa: F401  (re-export surface)
+from ..parallel import (
+    initialize_distributed,
+    local_shard_info,
+    make_mesh_for_batch,
+    replicate_tree,
+    shard_batch,
+)
+from ..utils.logger import create_logger
+from ..utils.meters import AverageMeter, ProgressMeter
+from . import common
+
+
+def main(argv=None) -> None:
+    configs = parse_train_config(argv)
+    np.random.seed(configs.seed)
+
+    initialize_distributed(configs.coordinator_address, configs.num_processes,
+                           configs.process_id)
+    info = local_shard_info()
+    is_lead = info["shard_id"] == 0
+    configs.make_dirs()
+    logger = create_logger(configs.logs_dir, configs.saved_fn, is_lead)
+
+    tb_writer = None
+    if is_lead:
+        from tensorboardX import SummaryWriter
+
+        tb_writer = SummaryWriter(
+            log_dir=configs.logs_dir, filename_suffix="_tpu")
+
+    dataset_dir = common.resolve_dataset_dir(configs)
+    spec = common.resolve_spec(configs)
+    params, bn_state = common.init_or_load(spec, configs.pretrained_path,
+                                           configs.seed)
+    logger.info("model %s: %d parameters, %d layers, %d boxes @ %d",
+                spec.name, __import__("complex_yolov4_tpu.models.network",
+                                      fromlist=["num_parameters"]).num_parameters(params),
+                len(spec.layers), spec.num_boxes(configs.img_size), configs.img_size)
+
+    tx = T.create_optimizer(
+        params,
+        optimizer_type=configs.optimizer_type,
+        momentum=configs.momentum,
+        weight_decay=configs.weight_decay,
+        subdivisions=max(configs.subdivisions, 1),
+    )
+    state = T.TrainState.create(params, bn_state, tx)
+
+    start_epoch = configs.start_epoch
+    if configs.resume_path:
+        state, resumed_epoch, _ = T.restore_checkpoint(configs.resume_path, state)
+        start_epoch = resumed_epoch + 1
+        logger.info("resumed from %s at epoch %d", configs.resume_path, resumed_epoch)
+
+    mesh = make_mesh_for_batch(configs.batch_size)
+    logger.info("data mesh: %d device(s) of %d available", mesh.devices.size,
+                info["local_device_count"])
+    state = replicate_tree(mesh, state)
+    step = T.make_train_step(
+        spec, tx, use_giou_loss=configs.use_giou_loss,
+        compute_dtype=common.compute_dtype_of(configs), mesh=mesh)
+    lr_fn = T.make_lr_fn(configs.lr_type, configs.lr, burn_in=configs.burn_in,
+                         steps=configs.steps, num_epochs=configs.num_epochs)
+
+    loader = create_train_loader(
+        dataset_dir, configs.batch_size,
+        num_samples=configs.num_samples,
+        multiscale=configs.multiscale_training, mosaic=configs.mosaic,
+        random_padding=configs.random_padding, seed=configs.seed,
+        shard_id=info["shard_id"], num_shards=info["num_shards"])
+
+    infer_fn = None
+    val_loader = None
+    if not configs.no_val:
+        val_loader = create_val_loader(dataset_dir, configs.batch_size,
+                                       seed=configs.seed)
+        infer_fn = make_inference_fn(
+            spec, conf_thresh=configs.conf_thresh,
+            nms_thresh=configs.nms_thresh, compute_dtype=jnp.float32)
+
+    global_iter = 0
+    for epoch in range(start_epoch, configs.num_epochs + 1):
+        loader.set_epoch(epoch)
+        batch_time = AverageMeter("Time", ":6.3f")
+        loss_meter = AverageMeter("Loss", ":.4e")
+        progress = ProgressMeter(len(loader), [batch_time, loss_meter],
+                                 prefix=f"Epoch [{epoch}/{configs.num_epochs}]")
+        t0 = time.time()
+        for b_idx, batch in enumerate(loader):
+            lr = lr_fn(global_iter, epoch - 1)
+            device_batch = shard_batch(mesh, {
+                "image": batch["image"],
+                "targets": batch["targets"],
+                "target_mask": batch["target_mask"],
+            })
+            state, metrics = step(state, device_batch, jnp.float32(lr))
+            global_iter += 1
+            loss = float(metrics["loss"])
+            loss_meter.update(loss, batch["image"].shape[0])
+            batch_time.update(time.time() - t0)
+            t0 = time.time()
+            if is_lead and b_idx % configs.print_freq == 0:
+                logger.info(progress.get_message(b_idx))
+            if tb_writer is not None and global_iter % configs.tensorboard_freq == 0:
+                tb_writer.add_scalar("train/lr", lr, global_iter)
+                tb_writer.add_scalar("train/loss", loss, global_iter)
+                for k, v in metrics.items():
+                    if k.startswith("head"):
+                        tb_writer.add_scalar(f"train/{k}", float(v), global_iter)
+
+        if val_loader is not None and is_lead:
+            out = evaluate_map(infer_fn, state.params, state.bn_state,
+                               val_loader, iou_threshold=configs.iou_thresh)
+            logger.info("epoch %d val mAP %.4f (AP per class: %s)",
+                        epoch, float(out["mAP"]), np.round(out["AP"], 4).tolist())
+            if tb_writer is not None:
+                tb_writer.add_scalar("val/mAP", float(out["mAP"]), epoch)
+
+        if is_lead and (epoch % configs.checkpoint_freq == 0
+                        or epoch == configs.num_epochs):
+            path = T.save_checkpoint(configs.checkpoints_dir, state, epoch)
+            logger.info("saved checkpoint %s", path)
+
+    if tb_writer is not None:
+        tb_writer.close()
+    logger.info("training done: %d epochs, %d iterations",
+                configs.num_epochs - start_epoch + 1, global_iter)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

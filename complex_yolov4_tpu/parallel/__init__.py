@@ -6,6 +6,7 @@ from .mesh import (
     initialize_distributed,
     local_shard_info,
     make_mesh,
+    make_mesh_for_batch,
     replicate_tree,
     replicated,
     shard_batch,
@@ -17,6 +18,7 @@ __all__ = [
     "initialize_distributed",
     "local_shard_info",
     "make_mesh",
+    "make_mesh_for_batch",
     "replicate_tree",
     "replicated",
     "shard_batch",

@@ -45,6 +45,17 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     return Mesh(devs, (DATA_AXIS,))
 
 
+def make_mesh_for_batch(global_batch: int,
+                        devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Data mesh over the largest device prefix whose size divides the global
+    batch (a 2-sample debug batch still runs on an 8-chip host)."""
+    devs = list(devices if devices is not None else jax.devices())
+    n = len(devs)
+    while n > 1 and global_batch % n != 0:
+        n -= 1
+    return make_mesh(devs[:n])
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding."""
     return NamedSharding(mesh, P(DATA_AXIS))
