@@ -24,23 +24,24 @@ def np_nms_oracle(decoded, conf_thresh, nms_thresh):
     cls_id = keep[:, 7:].argmax(axis=1)
     det = np.concatenate([keep[:, :7], cls_conf[:, None], cls_id[:, None]], axis=1)
 
-    def iou_row(a, bs):
-        a5 = np.array([[a[0], a[1], a[2], a[3], np.arctan2(a[4], a[5])]])
-        b5 = np.stack([bs[:, 0], bs[:, 1], bs[:, 2], bs[:, 3],
-                       np.arctan2(bs[:, 4], bs[:, 5])], axis=1)
-        return np.asarray(rb.pairwise_rotated_iou(jnp.asarray(a5, jnp.float32),
-                                                  jnp.asarray(b5, jnp.float32)))[0]
+    # one batched IoU matrix on device, then the sequential loop in numpy
+    b5 = np.stack([det[:, 0], det[:, 1], det[:, 2], det[:, 3],
+                   np.arctan2(det[:, 4], det[:, 5])], axis=1)
+    iou = np.asarray(rb.pairwise_rotated_iou(
+        jnp.asarray(b5, jnp.float32), jnp.asarray(b5, jnp.float32)))
 
     out = []
-    while det.shape[0]:
-        overlap = iou_row(det[0, :6], det[:, :6]) > nms_thresh
-        match = det[0, 8] == det[:, 8]
-        invalid = overlap & match
+    alive = np.ones(det.shape[0], bool)
+    while alive.any():
+        i = int(np.argmax(alive))  # highest-score remaining
+        overlap = iou[i] > nms_thresh
+        match = det[i, 8] == det[:, 8]
+        invalid = overlap & match & alive
         w = det[invalid, 6:7]
-        merged = det[0].copy()
+        merged = det[i].copy()
         merged[:6] = (w * det[invalid, :6]).sum(0) / w.sum()
         out.append(merged)
-        det = det[~invalid]
+        alive &= ~invalid
     return np.stack(out)
 
 

@@ -96,10 +96,11 @@ def test_contained_box():
 
 def test_random_vs_rasterized():
     rng = np.random.RandomState(7)
-    b1 = rand_boxes(rng, 64)
-    b2 = rand_boxes(rng, 64)
+    n = 24
+    b1 = rand_boxes(rng, n)
+    b2 = rand_boxes(rng, n)
     iou = np.asarray(rb.rotated_iou(jnp.asarray(b1), jnp.asarray(b2)))
-    for i in range(64):
+    for i in range(n):
         ref = raster_iou(b1[i], b2[i])
         assert iou[i] == pytest.approx(ref, abs=0.02), f"pair {i}: {b1[i]} {b2[i]}"
 
