@@ -33,7 +33,9 @@ def main() -> None:
     fparams = net.fold_batchnorm(spec, params, state)
     fspec = net.fold_spec(spec)
 
-    max_pts = 32_768
+    # Static point capacity: KITTI front-boundary crops peak around 20k
+    # points; scatter cost scales with capacity, so don't over-pad.
+    max_pts = int(os.environ.get("BENCH_MAX_POINTS", "20480"))
     rng = np.random.default_rng(0)
     pts_batch = np.zeros((batch, max_pts, 4), np.float32)
     msk_batch = np.zeros((batch, max_pts), np.float32)

@@ -88,9 +88,18 @@ class KittiDataset:
     # ---- sample assembly ----
 
     def load_bev_only(self, index: int) -> Tuple[str, np.ndarray]:
-        """Test mode: BEV raster only (reference: kitti_dataset.py:76-85)."""
+        """Test mode: BEV raster only (reference: kitti_dataset.py:76-85).
+
+        Uses the native C++ rasterizer when built (bit-identical output);
+        falls back to the numpy path otherwise.
+        """
         sample_id = self.sample_id_list[index]
-        cropped = bev_mod.remove_points_outside(self.get_lidar(sample_id))
+        lidar_path = os.path.join(self.paths["lidar"], f"{sample_id:06d}.bin")
+        from .. import native
+
+        if native.is_available():
+            return self.get_image_path(sample_id), native.rasterize_files([lidar_path])[0]
+        cropped = bev_mod.remove_points_outside(read_velodyne(lidar_path))
         return self.get_image_path(sample_id), bev_mod.make_bev_map(cropped)
 
     def load_sample(self, index: int, rng: Optional[np.random.Generator] = None):

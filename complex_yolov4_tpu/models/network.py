@@ -167,6 +167,12 @@ def apply(
             p = params[f"layer{i}"]
             pad = (layer.size - 1) // 2 if layer.pad else 0
             h = _conv(h, p["w"], layer.stride, pad, compute_dtype)
+            # Inference epilogue runs in compute dtype (the f32 MXU
+            # accumulator is cast right after the conv) — halves HBM traffic
+            # for every activation tensor. Training keeps the f32 epilogue so
+            # BN batch statistics stay accurate.
+            if not train:
+                h = h.astype(compute_dtype)
             if layer.batch_normalize:
                 if train:
                     mean = jnp.mean(h, axis=(0, 1, 2))
@@ -182,9 +188,9 @@ def apply(
                     st = state[f"layer{i}"]
                     mean, var = st["mean"], st["var"]
                 inv = jax.lax.rsqrt(var + BN_EPS) * p["bn_scale"]
-                h = h * inv + (p["bn_bias"] - mean * inv)
+                h = h * inv.astype(h.dtype) + (p["bn_bias"] - mean * inv).astype(h.dtype)
             else:
-                h = h + p["b"]
+                h = h + p["b"].astype(h.dtype)
             h = _act(h, layer.activation)
             h = h.astype(compute_dtype)
         elif isinstance(layer, MaxPoolSpec):

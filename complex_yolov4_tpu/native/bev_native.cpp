@@ -40,7 +40,8 @@ struct Cell {
 // channels [top intensity, max height / 4 m, log64 density].
 void rasterize(const float* points, int64_t n, float* out) {
   std::vector<Cell> cells(static_cast<size_t>(kGrid) * kGrid);
-  const float inv_log64 = 1.0f / std::log(64.0f);
+  // Density math in double for bit parity with the numpy float64 path.
+  const double log64 = std::log(64.0);
 
   for (int64_t p = 0; p < n; ++p) {
     const float x = points[p * 4 + 0];
@@ -74,8 +75,8 @@ void rasterize(const float* points, int64_t n, float* out) {
       if (c.count > 0) {
         px[0] = c.intensity;
         px[1] = c.height / kMaxHeight;
-        px[2] = std::min(1.0f, std::log(static_cast<float>(c.count) + 1.0f) *
-                                   inv_log64);
+        px[2] = static_cast<float>(
+            std::min(1.0, std::log(c.count + 1.0) / log64));
       } else {
         px[0] = px[1] = px[2] = 0.0f;
       }
