@@ -27,6 +27,23 @@ def _boxes6_to_5(boxes6: np.ndarray) -> np.ndarray:
     return out
 
 
+def rescale_boxes(boxes: np.ndarray, current_dim: int, original_shape) -> np.ndarray:
+    """Undo letterbox padding/scaling of axis-aligned boxes
+    (reference: evaluation_utils.py:52-68). BEV rasters are square, so this
+    is the identity there; kept for protocol parity with non-square inputs."""
+    orig_h, orig_w = original_shape
+    pad_x = max(orig_h - orig_w, 0) * (current_dim / max(original_shape))
+    pad_y = max(orig_w - orig_h, 0) * (current_dim / max(original_shape))
+    unpad_h = current_dim - pad_y
+    unpad_w = current_dim - pad_x
+    out = np.asarray(boxes, np.float64).copy()
+    out[:, 0] = ((out[:, 0] - pad_x // 2) / unpad_w) * orig_w
+    out[:, 1] = ((out[:, 1] - pad_y // 2) / unpad_h) * orig_h
+    out[:, 2] = ((out[:, 2] - pad_x // 2) / unpad_w) * orig_w
+    out[:, 3] = ((out[:, 3] - pad_y // 2) / unpad_h) * orig_h
+    return out
+
+
 def sample_statistics(
     detections: np.ndarray,
     det_mask: np.ndarray,

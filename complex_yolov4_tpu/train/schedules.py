@@ -40,6 +40,30 @@ def cosine_factor(num_epochs: int) -> Callable[[int], float]:
     return factor
 
 
+def plot_lr_schedule(lr_fn, num_epochs: int, iters_per_epoch: int,
+                     save_path: str) -> None:
+    """Plot the LR curve to a file (reference: train_utils.py:142-158)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    xs, ys = [], []
+    it = 0
+    for epoch in range(num_epochs):
+        for _ in range(iters_per_epoch):
+            xs.append(it)
+            ys.append(lr_fn(it, epoch))
+            it += 1
+    plt.figure(figsize=(8, 4))
+    plt.plot(xs, ys)
+    plt.xlabel("iteration")
+    plt.ylabel("learning rate")
+    plt.tight_layout()
+    plt.savefig(save_path, dpi=120)
+    plt.close()
+
+
 def make_lr_fn(lr_type: str, base_lr: float, *, burn_in: int = 50,
                steps: Sequence[int] = (1500, 4000), num_epochs: int = 300
                ) -> Callable[[int, int], float]:
