@@ -153,4 +153,10 @@ def main(argv=None) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:])
+    try:
+        main(sys.argv[1:])
+    except KeyboardInterrupt:
+        # Graceful interrupt (reference: train.py:248-255); resume later with
+        # --resume_path on the last saved epoch checkpoint.
+        print("\ninterrupted — resume with --resume_path <checkpoints>/epoch_N")
+        sys.exit(130)
