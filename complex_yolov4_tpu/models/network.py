@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import pallas_conv
 from .spec import ConvSpec, MaxPoolSpec, NetSpec, RouteSpec, ShortcutSpec, UpsampleSpec, YoloSpec
 from .yolo_head import decode_head
 
@@ -122,6 +123,14 @@ def _upsample(x: jnp.ndarray, stride: int) -> jnp.ndarray:
     return jnp.repeat(x, stride, axis=2)
 
 
+def _use_pallas_default() -> bool:
+    """Pallas kernels only on real TPU backends (axon = tunneled TPU)."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def apply(
     spec: NetSpec,
     params: Params,
@@ -130,6 +139,7 @@ def apply(
     *,
     train: bool = False,
     compute_dtype=jnp.bfloat16,
+    use_pallas_conv: Optional[bool] = None,
 ):
     """Run the network.
 
@@ -144,6 +154,8 @@ def apply(
         the list of per-head decode dicts (grid-unit boxes etc., for loss/tests).
       train=True: ((decoded, head_raw), new_state).
     """
+    if use_pallas_conv is None:
+        use_pallas_conv = _use_pallas_default()
     img_size = x.shape[1]
     outputs: List[Optional[jnp.ndarray]] = []
     new_state: State = {}
@@ -166,6 +178,35 @@ def apply(
         if isinstance(layer, ConvSpec):
             p = params[f"layer{i}"]
             pad = (layer.size - 1) // 2 if layer.pad else 0
+            if (
+                use_pallas_conv
+                and not train
+                and layer.size == 3
+                and layer.pad
+                and pallas_conv.supported(
+                    h.shape[1], h.shape[2], h.shape[-1], layer.filters,
+                    layer.size, layer.stride)
+                and layer.activation in ("mish", "leaky", "relu", "linear")
+            ):
+                # Fused conv+affine+activation in one Pallas kernel for the
+                # lane-starved high-resolution layers (see ops/pallas_conv.py).
+                # BN (inference stats) folds into an effective weight/bias.
+                if layer.batch_normalize:
+                    st = state[f"layer{i}"]
+                    inv = jax.lax.rsqrt(st["var"] + BN_EPS) * p["bn_scale"]
+                    w_eff = p["w"] * inv[None, None, None, :]
+                    b_eff = p["bn_bias"] - st["mean"] * inv
+                else:
+                    w_eff = p["w"]
+                    b_eff = p["b"]
+                h = pallas_conv.conv3x3_fused(
+                    h.astype(compute_dtype), w_eff, b_eff,
+                    stride=layer.stride, activation=layer.activation)
+                outputs.append(h)
+                for j in range(i + 1):
+                    if outputs[j] is not None and last_use[j] <= i:
+                        outputs[j] = None
+                continue
             h = _conv(h, p["w"], layer.stride, pad, compute_dtype)
             # Inference epilogue runs in compute dtype (the f32 MXU
             # accumulator is cast right after the conv) — halves HBM traffic
