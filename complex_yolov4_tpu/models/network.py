@@ -80,13 +80,16 @@ def init_params(spec: NetSpec, rng: jax.Array, dtype=jnp.float32) -> Tuple[Param
 
 def _conv(x: jnp.ndarray, w: jnp.ndarray, stride: int, pad: int,
           compute_dtype) -> jnp.ndarray:
+    # Output in compute dtype: the MXU accumulates f32 internally either way,
+    # and emitting bf16 keeps the conv transpose rule dtype-consistent under
+    # grad (preferred_element_type=f32 with bf16 operands breaks it).
     return jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
         w.astype(compute_dtype),
         window_strides=(stride, stride),
         padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=compute_dtype,
     )
 
 
@@ -216,6 +219,7 @@ def apply(
                 h = h.astype(compute_dtype)
             if layer.batch_normalize:
                 if train:
+                    h = h.astype(jnp.float32)  # f32 batch stats + epilogue
                     mean = jnp.mean(h, axis=(0, 1, 2))
                     var = jnp.var(h, axis=(0, 1, 2))
                     n = h.shape[0] * h.shape[1] * h.shape[2]
