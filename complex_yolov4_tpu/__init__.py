@@ -13,7 +13,7 @@ TPU-first:
   interpreter traced once under jit (`models.network`), replacing the per-forward
   nn.ModuleList interpretation (reference: src/models/darknet2pytorch.py:162).
 - rotated-box geometry (Sutherland-Hodgman clipping, convex hull, IoU/GIoU) as
-  vectorized, differentiable on-device ops (`ops.rotated_iou`), replacing
+  vectorized, differentiable on-device ops (`ops.rotated_boxes`), replacing
   shapely/GEOS + scipy Qhull CPU loops (reference: src/utils/iou_rotated_boxes_utils.py).
 - on-device rotated NMS with confidence-weighted box merging (`ops.nms`),
   replacing the CPU loop (reference: src/utils/evaluation_utils.py:321).

@@ -190,6 +190,19 @@ class NetSpec:
         return self
 
 
+def spec_summary(spec: NetSpec) -> str:
+    """Layer-by-layer table (parity with the reference's print_cfg,
+    src/models/darknet_utils.py:50-93): index, type, filters, output size."""
+    chans = spec.out_channels()
+    strides = spec.out_strides()
+    lines = [f"{'idx':>4} {'type':<10} {'filters':>8} {'size':>12}"]
+    for i, l in enumerate(spec.layers):
+        size = spec.height // strides[i]
+        kind = type(l).__name__.replace("Spec", "").lower()
+        lines.append(f"{i:>4} {kind:<10} {chans[i]:>8} {size:>5} x {size:<5}")
+    return "\n".join(lines)
+
+
 def anchors_from_wly(wly: Tuple[Tuple[float, float, float], ...]) -> Tuple[Tuple[float, float, float, float], ...]:
     """(w, l, yaw) anchor triples -> (w, l, sin yaw, cos yaw) rows, matching the
     cfg ingestion at reference: src/models/darknet2pytorch.py:382-385."""

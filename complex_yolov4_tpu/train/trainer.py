@@ -52,13 +52,23 @@ def make_train_step(
     use_giou_loss: bool = False,
     compute_dtype=jnp.bfloat16,
     mesh=None,
+    remat: bool = False,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jnp.ndarray],
               Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted (state, batch, lr) -> (state, metrics) step.
 
     With `mesh`, the step is compiled with batch inputs sharded over the
     `data` axis and state replicated — the DDP equivalent, minus DDP.
+    `remat` rematerializes the forward in the backward pass (jax.checkpoint),
+    roughly halving activation memory for larger per-chip batches.
     """
+
+    def forward(params, bn_state, images):
+        return net.apply(spec, params, bn_state, images, train=True,
+                         compute_dtype=compute_dtype)
+
+    if remat:
+        forward = jax.checkpoint(forward)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], lr: jnp.ndarray):
         images = batch["image"]
@@ -66,9 +76,7 @@ def make_train_step(
         tmask = batch["target_mask"]
 
         def loss_fn(params):
-            (_, head_raw), new_bn = net.apply(
-                spec, params, state.bn_state, images, train=True,
-                compute_dtype=compute_dtype)
+            (_, head_raw), new_bn = forward(params, state.bn_state, images)
             total, head_metrics = network_loss(
                 spec, head_raw, targets, tmask, use_giou_loss=use_giou_loss)
             return total, (new_bn, head_metrics)

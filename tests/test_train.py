@@ -120,3 +120,38 @@ def test_checkpoint_roundtrip(tmp_path):
 
     params_only = T.restore_params_only(path)
     assert set(params_only.keys()) == set(state.params.keys())
+
+
+def test_remat_step_matches_plain():
+    spec = get_model_spec("complex_yolov4_tiny", width=64, height=64)
+    params, bn_state = net.init_params(spec, jax.random.PRNGKey(0))
+    tx = T.create_optimizer(params, optimizer_type="sgd")
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.uniform(size=(2, 64, 64, 3)).astype(np.float32),
+        "targets": np.zeros((2, 8, 7), np.float32),
+        "target_mask": np.zeros((2, 8), np.float32),
+    }
+    batch["targets"][:, 0] = [0, 0.5, 0.5, 0.1, 0.2, 0.0, 1.0]
+    batch["target_mask"][:, 0] = 1
+    # distinct buffers: the step donates its input state
+    copy = lambda t: jax.tree.map(lambda x: jnp.array(x, copy=True), t)
+    s1 = T.TrainState.create(copy(params), copy(bn_state), tx)
+    s2 = T.TrainState.create(copy(params), copy(bn_state), tx)
+    step_plain = T.make_train_step(spec, tx, compute_dtype=jnp.float32)
+    step_remat = T.make_train_step(spec, tx, compute_dtype=jnp.float32, remat=True)
+    s1, m1 = step_plain(s1, batch, jnp.float32(1e-3))
+    s2, m2 = step_remat(s2, batch, jnp.float32(1e-3))
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+    a = jax.tree.leaves(s1.params)[0]
+    b = jax.tree.leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_spec_summary():
+    from complex_yolov4_tpu.models.spec import spec_summary
+
+    spec = get_model_spec("complex_yolov4_tiny")
+    table = spec_summary(spec)
+    assert "conv" in table and "yolo" in table
+    assert len(table.splitlines()) == len(spec.layers) + 1
