@@ -46,12 +46,31 @@ LCLS_SCALE = 37.4
 _EPS = 1e-16
 
 
+@jax.custom_vjp
 def _bce(p: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-    """Elementwise binary cross entropy with torch's -100 log clamp
-    (torch.nn.functional.binary_cross_entropy semantics)."""
+    """Elementwise binary cross entropy with torch's exact numerics
+    (torch.nn.functional.binary_cross_entropy): value with a -100 log clamp,
+    gradient (p - t) / clamp(p * (1 - p), min=1e-12). The bounded-denominator
+    gradient is load-bearing: once sigmoid saturates to exactly 0/1 in f32,
+    the naive -1/(1-p) gradient overflows and NaNs the whole model (observed
+    ~150 epochs into an overfit run)."""
     logp = jnp.maximum(jnp.log(jnp.maximum(p, 0.0)), -100.0)
     logq = jnp.maximum(jnp.log(jnp.maximum(1.0 - p, 0.0)), -100.0)
     return -(t * logp + (1.0 - t) * logq)
+
+
+def _bce_fwd(p, t):
+    return _bce(p, t), (p, t)
+
+
+def _bce_bwd(res, g):
+    p, t = res
+    denom = jnp.maximum(p * (1.0 - p), 1e-12)
+    return (g * (p - t) / denom, g * (jnp.maximum(jnp.log(jnp.maximum(1.0 - p, 0.0)), -100.0)
+                                      - jnp.maximum(jnp.log(jnp.maximum(p, 0.0)), -100.0)))
+
+
+_bce.defvjp(_bce_fwd, _bce_bwd)
 
 
 def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -236,7 +255,8 @@ def head_loss(
     loss_h = obj_mse(pred_h, th_flat)
     loss_im = obj_mse(pred_im, tim_flat)
     loss_re = obj_mse(pred_re, tre_flat)
-    circle = (1.0 - jnp.sqrt(pred_im**2 + pred_re**2)) ** 2
+    # eps guards sqrt'(0) = inf when a cell predicts im = re = 0 exactly
+    circle = (1.0 - jnp.sqrt(pred_im**2 + pred_re**2 + 1e-12)) ** 2
     loss_im_re = _masked_mean(circle, obj_flat)
     loss_eular = loss_im + loss_re + loss_im_re
 

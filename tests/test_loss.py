@@ -244,3 +244,40 @@ def test_network_loss_end_to_end_and_grad():
     leaves = jax.tree_util.tree_leaves(grads_g)
     assert all(bool(jnp.isfinite(l).all()) for l in leaves)
     assert any(bool((l != 0).any()) for l in leaves)
+
+
+def test_bce_saturated_gradients_finite():
+    """Saturated sigmoid outputs (p exactly 0/1) must give bounded gradients
+    (torch parity: grad = (p-t)/clamp(p(1-p), 1e-12); the naive form NaNs)."""
+    from complex_yolov4_tpu.losses.yolo_loss import _bce
+
+    p = jnp.asarray([0.0, 1.0, 0.5, 1e-20, 1.0 - 1e-7])
+    t = jnp.asarray([1.0, 0.0, 1.0, 1.0, 0.0])
+    val = _bce(p, t)
+    assert bool(jnp.isfinite(val).all())
+    g = jax.grad(lambda p: jnp.sum(_bce(p, t)))(p)
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.max(jnp.abs(g))) <= 1.1e12
+    # interior point matches the analytic derivative
+    g_mid = float(jax.grad(lambda p: _bce(p, jnp.float32(1.0)))(jnp.float32(0.5)))
+    assert g_mid == pytest.approx(-2.0, rel=1e-5)
+
+
+def test_circle_term_zero_angle_gradient_finite():
+    rng = np.random.default_rng(4)
+    targets, mask = make_targets(rng)
+    dense = build_targets_dense(
+        G, jnp.asarray(ANCHORS_GRID), NC, jnp.asarray(targets), jnp.asarray(mask), 0.7)
+    raw = _raw_from_dense(dense)
+    # zero out im/re everywhere: sqrt(0) in the circle term
+    raw["pred_im"] = jnp.zeros_like(raw["pred_im"])
+    raw["pred_re"] = jnp.zeros_like(raw["pred_re"])
+
+    def loss_of_imre(imre):
+        r = dict(raw)
+        r["pred_im"], r["pred_re"] = imre
+        total, _ = head_loss(r, HEAD_SPEC, jnp.asarray(targets), jnp.asarray(mask))
+        return total
+
+    g = jax.grad(loss_of_imre)((raw["pred_im"], raw["pred_re"]))
+    assert all(bool(jnp.isfinite(x).all()) for x in g)
