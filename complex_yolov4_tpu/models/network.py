@@ -37,8 +37,12 @@ BN_MOMENTUM = 0.1   # torch convention: new = (1 - m) * old + m * batch
 
 def _act(x: jnp.ndarray, kind: str) -> jnp.ndarray:
     if kind == "mish":
-        # x * tanh(softplus(x)); softplus in fp32 for stability then cast back
-        return x * jnp.tanh(jax.nn.softplus(x))
+        # mish(x) = x * tanh(softplus(x)) == x * (s^2 + 2s) / (s^2 + 2s + 2)
+        # with s = exp(x): one transcendental instead of three (exp/log/tanh),
+        # exact algebraically; for x > 20 tanh(softplus(x)) == 1 in fp anyway.
+        s = jnp.exp(jnp.minimum(x, 20.0))
+        q = s * s + 2.0 * s
+        return jnp.where(x > 20.0, x, x * q / (q + 2.0))
     if kind == "leaky":
         return jax.nn.leaky_relu(x, 0.1)
     if kind == "relu":

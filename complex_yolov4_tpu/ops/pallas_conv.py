@@ -32,7 +32,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _mish(x):
-    return x * jnp.tanh(jax.nn.softplus(x))
+    # Single-transcendental mish (see models.network._act).
+    s = jnp.exp(jnp.minimum(x, 20.0))
+    q = s * s + 2.0 * s
+    return jnp.where(x > 20.0, x, x * q / (q + 2.0))
 
 
 _ACTS = {
