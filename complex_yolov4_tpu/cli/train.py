@@ -83,7 +83,8 @@ def main(argv=None) -> None:
     state = replicate_tree(mesh, state)
     step = T.make_train_step(
         spec, tx, use_giou_loss=configs.use_giou_loss,
-        compute_dtype=common.compute_dtype_of(configs), mesh=mesh)
+        compute_dtype=common.compute_dtype_of(configs), mesh=mesh,
+        remat=configs.remat)
     lr_fn = T.make_lr_fn(configs.lr_type, configs.lr, burn_in=configs.burn_in,
                          steps=configs.steps, num_epochs=configs.num_epochs)
 

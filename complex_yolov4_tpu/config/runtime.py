@@ -75,6 +75,7 @@ class TrainConfig:
 
     # numerics
     compute_dtype: str = "bfloat16"         # training compute precision
+    remat: bool = False                     # rematerialize fwd in bwd (memory)
 
     # distributed (multi-host JAX; replaces DDP's rendezvous surface)
     num_processes: int = 1
