@@ -93,7 +93,10 @@ def main(argv=None) -> None:
         num_samples=configs.num_samples,
         multiscale=configs.multiscale_training, mosaic=configs.mosaic,
         random_padding=configs.random_padding, seed=configs.seed,
-        shard_id=info["shard_id"], num_shards=info["num_shards"])
+        shard_id=info["shard_id"], num_shards=info["num_shards"],
+        hflip_prob=configs.hflip_prob, cutout_prob=configs.cutout_prob,
+        cutout_nholes=configs.cutout_nholes, cutout_ratio=configs.cutout_ratio,
+        cutout_fill_value=configs.cutout_fill_value)
 
     infer_fn = None
     val_loader = None

@@ -153,13 +153,18 @@ def create_train_loader(dataset_dir: str, batch_size: int, *,
                         multiscale: bool = False, mosaic: bool = False,
                         random_padding: bool = False, seed: int = 2020,
                         shard_id: int = 0, num_shards: int = 1,
-                        replicate_reference_bug: bool = True) -> BatchIterator:
+                        replicate_reference_bug: bool = True,
+                        hflip_prob: float = 0.5, cutout_prob: float = 0.0,
+                        cutout_nholes: int = 1, cutout_ratio: float = 0.3,
+                        cutout_fill_value: float = 0.0) -> BatchIterator:
     """Training pipeline with the reference augmentation recipe
     (reference: kitti_dataloader.py:22-47)."""
     ds = KittiDataset(
         dataset_dir, mode="train",
         lidar_transforms=default_lidar_transforms(replicate_reference_bug),
-        aug_transforms=default_aug_transforms(),
+        aug_transforms=default_aug_transforms(
+            hflip_prob, cutout_prob, cutout_nholes, cutout_ratio,
+            cutout_fill_value),
         num_samples=num_samples, mosaic=mosaic, random_padding=random_padding,
     )
     return BatchIterator(ds, batch_size, shuffle=True, multiscale=multiscale,

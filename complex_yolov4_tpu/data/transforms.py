@@ -238,10 +238,15 @@ def default_lidar_transforms(replicate_reference_bug: bool = True) -> OneOf:
     )
 
 
-def default_aug_transforms() -> Compose:
-    """The reference training recipe's image-space augmentations
-    (reference: src/data_process/kitti_dataloader.py:29-34)."""
+def default_aug_transforms(hflip_prob: float = 0.5, cutout_prob: float = 0.0,
+                           cutout_nholes: int = 1, cutout_ratio: float = 0.3,
+                           cutout_fill_value: float = 0.0) -> Compose:
+    """The reference training recipe's image-space augmentations with its
+    CLI-tunable probabilities (reference: src/data_process/kitti_dataloader.py:29-34,
+    defaults from src/config/train_config.py:44-53)."""
     return Compose(
-        [HorizontalFlip(p=0.5), Cutout(n_holes=1, ratio=0.3, fill_value=0.0, p=0.5)],
+        [HorizontalFlip(p=hflip_prob),
+         Cutout(n_holes=cutout_nholes, ratio=cutout_ratio,
+                fill_value=cutout_fill_value, p=cutout_prob)],
         p=1.0,
     )
