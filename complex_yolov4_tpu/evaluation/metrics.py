@@ -72,14 +72,18 @@ def sample_statistics(
     if n_pred == 0 or tgt.shape[0] == 0:
         return tp, scores, labels
 
-    tgt_boxes6 = tgt[:, 1:7].copy()
+    # IoU matrix at the FIXED (K, T) capacities so the device program
+    # compiles once for the whole eval run (live-count-shaped calls would
+    # recompile per sample); dead rows/cols are simply ignored below.
+    tgt_boxes6 = targets[:, 1:7].copy()
     tgt_boxes6[:, :4] *= img_size
-    iou_mat = np.asarray(
+    iou_full = np.asarray(
         rb.pairwise_rotated_iou(
-            jnp.asarray(_boxes6_to_5(dets[:, :6])),
+            jnp.asarray(_boxes6_to_5(detections[:, :6])),
             jnp.asarray(_boxes6_to_5(tgt_boxes6)),
         )
     )
+    iou_mat = iou_full[np.asarray(live)][:, np.asarray(tlive)]
     target_labels = tgt[:, 0]
     detected: List[int] = []
     for i in range(n_pred):
