@@ -13,6 +13,12 @@ import time
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+
+
 
 def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "16"))
