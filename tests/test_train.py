@@ -155,3 +155,25 @@ def test_spec_summary():
     table = spec_summary(spec)
     assert "conv" in table and "yolo" in table
     assert len(table.splitlines()) == len(spec.layers) + 1
+
+
+def test_sharded_inference_matches_single():
+    """Fused inference (forward+NMS) under a data mesh == single-device."""
+    from complex_yolov4_tpu.evaluation import make_inference_fn
+    from complex_yolov4_tpu.parallel import data_sharding, replicate_tree
+
+    mesh = make_mesh()
+    spec = get_model_spec("complex_yolov4_tiny", width=96, height=96)
+    params, state = net.init_params(spec, jax.random.PRNGKey(0))
+    infer = make_inference_fn(spec, conf_thresh=0.01, nms_thresh=0.5,
+                              max_boxes=16)
+    images = np.random.default_rng(0).uniform(size=(8, 96, 96, 3)).astype(np.float32)
+
+    d_single, m_single = infer(params, state, jnp.asarray(images))
+    sharded = jax.device_put(jnp.asarray(images), data_sharding(mesh))
+    params_r = replicate_tree(mesh, params)
+    state_r = replicate_tree(mesh, state)
+    d_mesh, m_mesh = infer(params_r, state_r, sharded)
+    np.testing.assert_allclose(np.asarray(m_single), np.asarray(m_mesh))
+    np.testing.assert_allclose(np.asarray(d_single), np.asarray(d_mesh),
+                               atol=2e-3, rtol=1e-3)
