@@ -175,3 +175,61 @@ def test_jit_and_batch_shapes():
     assert out.shape == (2, 3)
     g = jax.jit(lambda a, b: rb.rotated_giou(a, b)[0])(b1, b2)
     assert g.shape == (2, 3)
+
+
+def test_iou_invariance_properties():
+    """Fuzz: IoU is symmetric and invariant under rigid transforms."""
+    rng = np.random.RandomState(13)
+    b1 = rand_boxes(rng, 32)
+    b2 = rand_boxes(rng, 32)
+    iou_ab = np.asarray(rb.rotated_iou(jnp.asarray(b1), jnp.asarray(b2)))
+    iou_ba = np.asarray(rb.rotated_iou(jnp.asarray(b2), jnp.asarray(b1)))
+    np.testing.assert_allclose(iou_ab, iou_ba, atol=1e-5)
+
+    # translation invariance
+    t = np.array([7.3, -2.1, 0, 0, 0], np.float32)
+    iou_t = np.asarray(rb.rotated_iou(jnp.asarray(b1 + t), jnp.asarray(b2 + t)))
+    np.testing.assert_allclose(iou_ab, iou_t, atol=1e-4)
+
+    # common rotation about the origin
+    ang = 0.83
+    def rot(b):
+        out = b.copy()
+        c, s = np.cos(ang), np.sin(ang)
+        out[:, 0] = b[:, 0] * c - b[:, 1] * s
+        out[:, 1] = b[:, 0] * s + b[:, 1] * c
+        out[:, 4] = b[:, 4] + ang
+        return out
+    iou_r = np.asarray(rb.rotated_iou(jnp.asarray(rot(b1)), jnp.asarray(rot(b2))))
+    np.testing.assert_allclose(iou_ab, iou_r, atol=1e-3)
+
+    # yaw periodicity (boxes are 180-degree symmetric rectangles)
+    b1p = b1.copy(); b1p[:, 4] += np.pi
+    iou_p = np.asarray(rb.rotated_iou(jnp.asarray(b1p), jnp.asarray(b2)))
+    np.testing.assert_allclose(iou_ab, iou_p, atol=1e-4)
+
+
+def test_intersection_bounds_fuzz():
+    """Fuzz: 0 <= inter <= min(area1, area2); IoU in [0, 1]."""
+    rng = np.random.RandomState(17)
+    for seed in range(3):
+        r = np.random.RandomState(seed)
+        b1 = rand_boxes(r, 128, spread=10.0)
+        b2 = rand_boxes(r, 128, spread=10.0)
+        inter = np.asarray(rb.intersection_area(jnp.asarray(b1), jnp.asarray(b2)))
+        a1 = b1[:, 2] * b1[:, 3]
+        a2 = b2[:, 2] * b2[:, 3]
+        assert np.all(inter >= -1e-4)
+        assert np.all(inter <= np.minimum(a1, a2) * (1 + 1e-4) + 1e-4)
+        iou = np.asarray(rb.rotated_iou(jnp.asarray(b1), jnp.asarray(b2)))
+        assert np.all(iou >= -1e-6) and np.all(iou <= 1 + 1e-5)
+
+
+def test_degenerate_thin_boxes():
+    """Near-zero width boxes: finite results, ~zero IoU."""
+    b1 = jnp.asarray([[10.0, 10.0, 1e-4, 5.0, 0.7]])
+    b2 = jnp.asarray([[10.0, 10.0, 4.0, 4.0, 0.0]])
+    iou = float(rb.rotated_iou(b1, b2)[0])
+    assert np.isfinite(iou) and 0 <= iou < 1e-3
+    g, i = rb.rotated_giou(b1, b2)
+    assert np.isfinite(float(g[0]))
