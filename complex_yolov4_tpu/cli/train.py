@@ -107,6 +107,7 @@ def main(argv=None) -> None:
             spec, conf_thresh=configs.conf_thresh,
             nms_thresh=configs.nms_thresh, compute_dtype=jnp.float32)
 
+    profiler_active = False
     global_iter = 0
     for epoch in range(start_epoch, configs.num_epochs + 1):
         loader.set_epoch(epoch)
@@ -122,8 +123,17 @@ def main(argv=None) -> None:
                 "targets": batch["targets"],
                 "target_mask": batch["target_mask"],
             })
+            if configs.profile_steps and global_iter == configs.profile_start:
+                jax.profiler.start_trace(configs.logs_dir)
+                profiler_active = True
             state, metrics = step(state, device_batch, jnp.float32(lr))
             global_iter += 1
+            if profiler_active and global_iter >= (
+                    configs.profile_start + configs.profile_steps):
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                profiler_active = False
+                logger.info("profiler trace written to %s", configs.logs_dir)
             loss = float(metrics["loss"])
             loss_meter.update(loss, batch["image"].shape[0])
             batch_time.update(time.time() - t0)

@@ -77,6 +77,10 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"         # training compute precision
     remat: bool = False                     # rematerialize fwd in bwd (memory)
 
+    # profiling (writes a JAX/xprof trace into logs_dir)
+    profile_steps: int = 0                  # 0 = off; else trace N steps
+    profile_start: int = 3                  # first traced global iteration
+
     # distributed (multi-host JAX; replaces DDP's rendezvous surface)
     num_processes: int = 1
     process_id: int = 0

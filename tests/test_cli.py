@@ -97,3 +97,53 @@ def test_pretrained_weights_flow(kitti_root, tmp_path):
     main(["--dataset_dir", kitti_root, "--model", "complex_yolov4_tiny",
           "--num_samples", "1", "--pretrained_path", wpath,
           "--compute_dtype", "float32"])
+
+
+def test_export_cli_all_formats(kitti_root, tmp_path):
+    from complex_yolov4_tpu.cli.export import main
+
+    # darknet binary
+    out_w = str(tmp_path / "model.weights")
+    main(["--model", "complex_yolov4_tiny", "--format", "darknet",
+          "--output", out_w])
+    assert os.path.getsize(out_w) > 1_000_000
+
+    # orbax
+    out_o = str(tmp_path / "ckpt")
+    main(["--model", "complex_yolov4_tiny", "--format", "orbax",
+          "--output", out_o])
+    assert os.path.isdir(out_o)
+
+    # stablehlo serving artifact (small input for test speed)
+    out_s = str(tmp_path / "model.shlo")
+    main(["--model", "complex_yolov4_tiny", "--format", "stablehlo",
+          "--output", out_s, "--img_size", "128", "--max_boxes", "16"])
+    assert os.path.getsize(out_s) > 10_000  # program only; weights are args
+
+    # the serialized program must run after deserialization
+    import jax
+    from jax import export as jexport
+
+    from complex_yolov4_tpu.models import get_model_spec
+    from complex_yolov4_tpu.models import network as net
+
+    restored = jexport.deserialize(open(out_s, "rb").read())
+    spec = get_model_spec("complex_yolov4_tiny")
+    params, state = net.init_params(spec, jax.random.PRNGKey(0))
+    fparams = net.fold_batchnorm(spec, params, state)
+    imgs = np.zeros((1, 128, 128, 3), np.float32)
+    dets, masks = restored.call(fparams, imgs)
+    assert dets.shape == (1, 16, 9)
+
+
+def test_train_cli_profiler_flag(kitti_root, tmp_path):
+    from complex_yolov4_tpu.cli.train import main
+
+    wd = str(tmp_path / "wd")
+    main(["--dataset_dir", kitti_root, "--model", "complex_yolov4_tiny",
+          "--batch_size", "2", "--num_epochs", "1", "--subdivisions", "1",
+          "--working_dir", wd, "--print_freq", "1", "--compute_dtype",
+          "float32", "--no_val", "--profile_steps", "1", "--profile_start", "1"])
+    logs = os.path.join(wd, "logs", "complexer_yolo")
+    assert any("plugins" in d or "trace" in d.lower()
+               for d in os.listdir(logs)), os.listdir(logs)
