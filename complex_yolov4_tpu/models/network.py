@@ -87,6 +87,10 @@ def _conv(x: jnp.ndarray, w: jnp.ndarray, stride: int, pad: int,
     # Output in compute dtype: the MXU accumulates f32 internally either way,
     # and emitting bf16 keeps the conv transpose rule dtype-consistent under
     # grad (preferred_element_type=f32 with bf16 operands breaks it).
+    # NOTE: lowering 1x1 convs as explicit matmuls wins 2-3x in ISOLATION at
+    # high resolution but LOSES ~15% inside the fused network (layout
+    # transitions between conv-chosen and dot-chosen layouts) — measured both
+    # ways on v5e; keep every conv on the conv path.
     return jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
         w.astype(compute_dtype),
