@@ -16,8 +16,10 @@ Replaces the reference's DataLoader + DistributedSampler stack
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional
 
 import cv2
@@ -53,6 +55,7 @@ class BatchIterator:
         shard_id: int = 0,
         num_shards: int = 1,
         prefetch: int = 2,
+        workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -63,6 +66,10 @@ class BatchIterator:
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.prefetch = prefetch
+        self.workers = workers if workers > 0 else min(8, os.cpu_count() or 4)
+        if self.workers > 1:
+            self._pool = ThreadPoolExecutor(max_workers=self.workers,
+                                            thread_name_prefix="loader")
         self.epoch = 0
         base = dataset.img_size
         self.size_choices = list(range(base - 3 * 32, base + 3 * 32 + 1, 32))
@@ -86,13 +93,27 @@ class BatchIterator:
         n = len(self._epoch_indices())
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _load_one(self, index: int, j: int, size: int):
+        rng = np.random.default_rng((self.seed, self.epoch, int(index), j))
+        _, img, targets, mask = self.dataset.get_item(int(index), rng)
+        if img.shape[0] != size:
+            img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
+        return img, targets, mask
+
     def _make_batch(self, indices: np.ndarray, batch_idx: int, size: int) -> Dict[str, np.ndarray]:
         imgs, tgts, masks, ids = [], [], [], []
-        for j, index in enumerate(indices):
-            rng = np.random.default_rng((self.seed, self.epoch, int(index), j))
-            _, img, targets, mask = self.dataset.get_item(int(index), rng)
-            if img.shape[0] != size:
-                img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
+        # Sample assembly is IO + cv2 + the native rasterizer — all GIL-
+        # releasing — so a thread pool parallelizes it effectively (the
+        # reference used worker processes; determinism is preserved because
+        # each sample's RNG is keyed by (seed, epoch, index, slot)).
+        if self.workers > 1 and len(indices) > 1:
+            results = list(self._pool.map(
+                lambda ji: self._load_one(int(ji[1]), ji[0], size),
+                enumerate(indices)))
+        else:
+            results = [self._load_one(int(index), j, size)
+                       for j, index in enumerate(indices)]
+        for index, (img, targets, mask) in zip(indices, results):
             imgs.append(img)
             ids.append(self.dataset.sample_id_list[int(index)])
             if targets is not None:
