@@ -268,14 +268,21 @@ def head_loss(
     )
 
     # ---- per-target pred-vs-target rotated IoU / GIoU (yolo_layer.py:128-133)
+    # MSE mode needs only plain IoU (the reference's MSE-mode "giou_loss"
+    # metric is sum(1-IoU), iou_pred_vs_target_boxes with GIoU=False) — skip
+    # the enclosing-hull computation entirely there.
     tgt_cell = jnp.where(valid, cell, 0).ravel()
     pb = pred_boxes[tgt_cell].reshape(b_sz, t_cap, 6)
     p5 = jnp.stack(
         [pb[..., 0], pb[..., 1], pb[..., 2], pb[..., 3],
          jnp.arctan2(pb[..., 4], pb[..., 5])], axis=-1)
-    giou, iou = rb.rotated_giou(p5, t5)
     vmask = valid.astype(jnp.float32)
-    giou_loss = jnp.sum((1.0 - giou) * vmask) / jnp.maximum(n_valid, 1.0)
+    if use_giou_loss:
+        giou, iou = rb.rotated_giou(p5, t5)
+        giou_loss = jnp.sum((1.0 - giou) * vmask) / jnp.maximum(n_valid, 1.0)
+    else:
+        iou = rb.rotated_iou(p5, t5)
+        giou_loss = jnp.float32(0.0)
     iou_loss_plain = jnp.sum((1.0 - iou) * vmask) / jnp.maximum(n_valid, 1.0)
 
     if use_giou_loss:
