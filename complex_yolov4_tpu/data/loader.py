@@ -31,6 +31,19 @@ from .transforms import default_aug_transforms, default_lidar_transforms
 
 _MULTISCALE_EVERY = 10  # batches between size redraws (reference parity)
 
+# One process-wide assembly pool shared by every BatchIterator (avoids
+# leaking idle threads when loaders are created per epoch/test).
+_SHARED_POOL: Optional[ThreadPoolExecutor] = None
+
+
+def _shared_pool() -> ThreadPoolExecutor:
+    global _SHARED_POOL
+    if _SHARED_POOL is None:
+        _SHARED_POOL = ThreadPoolExecutor(
+            max_workers=min(8, os.cpu_count() or 4),
+            thread_name_prefix="cyv4-loader")
+    return _SHARED_POOL
+
 
 def _resize_batch(imgs: np.ndarray, size: int) -> np.ndarray:
     if imgs.shape[1] == size:
@@ -67,9 +80,6 @@ class BatchIterator:
         self.num_shards = num_shards
         self.prefetch = prefetch
         self.workers = workers if workers > 0 else min(8, os.cpu_count() or 4)
-        if self.workers > 1:
-            self._pool = ThreadPoolExecutor(max_workers=self.workers,
-                                            thread_name_prefix="loader")
         self.epoch = 0
         base = dataset.img_size
         self.size_choices = list(range(base - 3 * 32, base + 3 * 32 + 1, 32))
@@ -107,7 +117,7 @@ class BatchIterator:
         # reference used worker processes; determinism is preserved because
         # each sample's RNG is keyed by (seed, epoch, index, slot)).
         if self.workers > 1 and len(indices) > 1:
-            results = list(self._pool.map(
+            results = list(_shared_pool().map(
                 lambda ji: self._load_one(int(ji[1]), ji[0], size),
                 enumerate(indices)))
         else:
