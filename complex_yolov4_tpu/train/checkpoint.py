@@ -60,20 +60,34 @@ def restore_checkpoint(path: str, template: TrainState):
     """Restore a checkpoint written by `save_checkpoint`.
 
     Returns (TrainState, epoch, extra). `template` supplies the tree
-    structure/dtypes (orbax restores by structure).
+    structure: orbax must restore INTO it — a structureless restore returns
+    plain dicts whose alphabetical leaf order silently permutes optax
+    namedtuple states (e.g. MultiStepsState fields).
     """
+    item = {
+        "params": template.params,
+        "bn_state": template.bn_state,
+        "opt_state": template.opt_state,
+        "global_step": template.global_step,
+        "epoch": np.int32(0),
+    }
     with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(path)
+        try:
+            restored = ckptr.restore(path, item=item)
+            extra = None
+        except Exception:
+            # checkpoint may carry an "extra" dict the template lacks
+            raw = ckptr.restore(path)
+            item["extra"] = raw.get("extra")
+            restored = ckptr.restore(path, item=item)
+            extra = restored.get("extra")
     state = TrainState(
         params=jax.tree.map(np.asarray, restored["params"]),
         bn_state=jax.tree.map(np.asarray, restored["bn_state"]),
-        opt_state=jax.tree.unflatten(
-            jax.tree.structure(template.opt_state),
-            jax.tree.leaves(restored["opt_state"]),
-        ),
+        opt_state=jax.tree.map(np.asarray, restored["opt_state"]),
         global_step=np.asarray(restored["global_step"]),
     )
-    return state, int(restored["epoch"]), restored.get("extra")
+    return state, int(restored["epoch"]), extra
 
 
 def restore_params_only(path: str) -> Dict[str, Any]:

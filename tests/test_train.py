@@ -177,3 +177,27 @@ def test_sharded_inference_matches_single():
     np.testing.assert_allclose(np.asarray(m_single), np.asarray(m_mesh))
     np.testing.assert_allclose(np.asarray(d_single), np.asarray(d_mesh),
                                atol=2e-3, rtol=1e-3)
+
+
+def test_checkpoint_restore_multisteps_leaf_order(tmp_path):
+    """MultiSteps optimizer state must restore field-correct (a structureless
+    orbax restore returns alphabetical dicts that silently permute namedtuple
+    leaves — regression for that)."""
+    _, state, step, batch = _tiny_setup(subdivisions=3)
+    # one micro-step: mini_step=1, gradient_step=0 — distinguishable ints
+    state, _ = step(state, batch, jnp.float32(1e-3))
+    ms = state.opt_state
+    assert int(ms.mini_step) == 1 and int(ms.gradient_step) == 0
+    path = T.save_checkpoint(str(tmp_path), state, epoch=1)
+
+    _, template, _, _ = _tiny_setup(subdivisions=3)
+    restored, _, _ = T.restore_checkpoint(path, template)
+    assert int(restored.opt_state.mini_step) == 1
+    assert int(restored.opt_state.gradient_step) == 0
+    # accumulated grads match exactly
+    for a, b in zip(jax.tree.leaves(ms.acc_grads),
+                    jax.tree.leaves(restored.opt_state.acc_grads)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restored state continues stepping
+    restored, metrics = step(restored, batch, jnp.float32(1e-3))
+    assert int(restored.opt_state.mini_step) == 2
