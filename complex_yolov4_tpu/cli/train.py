@@ -24,11 +24,11 @@ from ..data import create_train_loader, create_val_loader
 from ..evaluation import evaluate_map, make_inference_fn
 from ..losses.yolo_loss import network_loss  # noqa: F401  (re-export surface)
 from ..parallel import (
+    device_prefetch,
     initialize_distributed,
     local_shard_info,
     make_mesh_for_batch,
     replicate_tree,
-    shard_batch,
 )
 from ..utils.logger import create_logger
 from ..utils.meters import AverageMeter, ProgressMeter
@@ -116,13 +116,8 @@ def main(argv=None) -> None:
         progress = ProgressMeter(len(loader), [batch_time, loss_meter],
                                  prefix=f"Epoch [{epoch}/{configs.num_epochs}]")
         t0 = time.time()
-        for b_idx, batch in enumerate(loader):
+        for b_idx, device_batch in enumerate(device_prefetch(loader, mesh)):
             lr = lr_fn(global_iter, epoch - 1)
-            device_batch = shard_batch(mesh, {
-                "image": batch["image"],
-                "targets": batch["targets"],
-                "target_mask": batch["target_mask"],
-            })
             if configs.profile_steps and global_iter == configs.profile_start:
                 jax.profiler.start_trace(configs.logs_dir)
                 profiler_active = True
@@ -135,7 +130,7 @@ def main(argv=None) -> None:
                 profiler_active = False
                 logger.info("profiler trace written to %s", configs.logs_dir)
             loss = float(metrics["loss"])
-            loss_meter.update(loss, batch["image"].shape[0])
+            loss_meter.update(loss, device_batch["image"].shape[0])
             batch_time.update(time.time() - t0)
             t0 = time.time()
             if is_lead and b_idx % configs.print_freq == 0:

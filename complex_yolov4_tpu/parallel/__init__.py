@@ -3,6 +3,7 @@
 from .mesh import (
     DATA_AXIS,
     data_sharding,
+    device_prefetch,
     initialize_distributed,
     local_shard_info,
     make_mesh,
@@ -15,6 +16,7 @@ from .mesh import (
 __all__ = [
     "DATA_AXIS",
     "data_sharding",
+    "device_prefetch",
     "initialize_distributed",
     "local_shard_info",
     "make_mesh",

@@ -85,6 +85,28 @@ def replicate_tree(mesh: Mesh, tree):
     return jax.device_put(tree, sharding)
 
 
+def device_prefetch(iterator, mesh: Mesh, keys=("image", "targets", "target_mask"),
+                    depth: int = 2):
+    """Wrap a host batch iterator: device_put each batch (batch axis sharded
+    over `data`) `depth` steps ahead so H2D transfer overlaps the device
+    step — the SPMD answer to DataLoader pin_memory/non_blocking
+    (reference: train.py:203-204)."""
+    import collections
+
+    sharding = data_sharding(mesh)
+    buf = collections.deque()
+    it = iter(iterator)
+    try:
+        while True:
+            while len(buf) < depth:
+                host = next(it)
+                buf.append({k: jax.device_put(host[k], sharding) for k in keys})
+            yield buf.popleft()
+    except StopIteration:
+        while buf:
+            yield buf.popleft()
+
+
 def local_shard_info() -> Dict[str, int]:
     """This host's position for input-pipeline sharding."""
     return {

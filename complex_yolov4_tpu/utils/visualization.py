@@ -137,6 +137,46 @@ def draw_objects_on_camera(img: np.ndarray, objects: Sequence[Object3d],
     return img
 
 
+def save_lidar_3d(points: np.ndarray, path: str,
+                  boxes_lidar: Optional[np.ndarray] = None,
+                  max_points: int = 30000) -> None:
+    """3-D point-cloud view with optional lidar boxes, saved as an image
+    (matplotlib stands in for the reference's optional mayavi viewer,
+    reference: visualization_utils.py:14-134; VTK is not in this image)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    pts = points
+    if pts.shape[0] > max_points:
+        pts = pts[np.random.default_rng(0).choice(pts.shape[0], max_points,
+                                                  replace=False)]
+    fig = plt.figure(figsize=(10, 7))
+    ax = fig.add_subplot(projection="3d")
+    ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=0.2,
+               c=pts[:, 2], cmap="viridis")
+    if boxes_lidar is not None:
+        for b in np.asarray(boxes_lidar).reshape(-1, 7):
+            x, y, z, h, w, l, yaw = b
+            c, s = np.cos(yaw), np.sin(yaw)
+            dx = np.array([l, l, -l, -l]) / 2
+            dy = np.array([w, -w, -w, w]) / 2
+            cx = x + dx * c - dy * s
+            cy = y + dx * s + dy * c
+            for zz in (z - h / 2, z + h / 2):
+                ax.plot(np.append(cx, cx[0]), np.append(cy, cy[0]),
+                        zz * np.ones(5), "r-", linewidth=1)
+            for k in range(4):
+                ax.plot([cx[k], cx[k]], [cy[k], cy[k]],
+                        [z - h / 2, z + h / 2], "r-", linewidth=1)
+    ax.set_xlabel("x (m)")
+    ax.set_ylabel("y (m)")
+    ax.set_box_aspect((2, 2, 0.5))
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+
+
 def merge_rgb_to_bev(img_rgb: np.ndarray, img_bev: np.ndarray,
                      output_width: int) -> np.ndarray:
     """Stack camera view over BEV at a common width

@@ -201,3 +201,19 @@ def test_checkpoint_restore_multisteps_leaf_order(tmp_path):
     # restored state continues stepping
     restored, metrics = step(restored, batch, jnp.float32(1e-3))
     assert int(restored.opt_state.mini_step) == 2
+
+
+def test_device_prefetch_iterator():
+    from complex_yolov4_tpu.parallel import device_prefetch
+
+    mesh = make_mesh()
+    batches = [{
+        "image": np.full((8, 4, 4, 3), float(i), np.float32),
+        "targets": np.zeros((8, 2, 7), np.float32),
+        "target_mask": np.zeros((8, 2), np.float32),
+    } for i in range(5)]
+    out = list(device_prefetch(iter(batches), mesh, depth=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert float(np.asarray(b["image"])[0, 0, 0, 0]) == i
+        assert b["image"].sharding.num_devices == 8

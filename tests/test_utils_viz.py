@@ -84,3 +84,11 @@ def test_rescale_boxes_identity_for_square():
     # non-square letterbox undo changes coordinates
     out2 = rescale_boxes(boxes.copy(), 608, (375, 1242))
     assert not np.allclose(out2, boxes)
+
+
+def test_save_lidar_3d(tmp_path):
+    rng = np.random.default_rng(0)
+    pts, boxes, _ = synthetic.sample_scene(rng)
+    out = str(tmp_path / "cloud.png")
+    viz.save_lidar_3d(pts, out, boxes_lidar=boxes)
+    assert os.path.getsize(out) > 10_000
