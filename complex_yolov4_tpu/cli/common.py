@@ -7,7 +7,6 @@ import tempfile
 from typing import Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from ..data import synthetic
 from ..models import get_model_spec, netspec_from_cfg
@@ -32,15 +31,9 @@ def load_weights(spec: NetSpec, path: str) -> Tuple[dict, dict]:
     if path.endswith((".pth", ".pt")):
         return wio.load_torch_state_dict(spec, path)
     if os.path.isdir(path):
-        from ..train.checkpoint import restore_params_only
+        from ..train.checkpoint import restore_params_and_bn
 
-        import orbax.checkpoint as ocp
-
-        with ocp.PyTreeCheckpointer() as ckptr:
-            restored = ckptr.restore(path)
-        params = jax.tree.map(jnp.asarray, restored["params"])
-        state = jax.tree.map(jnp.asarray, restored["bn_state"])
-        return params, state
+        return restore_params_and_bn(path)
     raise ValueError(f"unrecognized checkpoint format: {path!r}")
 
 

@@ -72,10 +72,16 @@ def main(argv=None) -> None:
     state = T.TrainState.create(params, bn_state, tx)
 
     start_epoch = configs.start_epoch
+    global_iter = 0
     if configs.resume_path:
         state, resumed_epoch, _ = T.restore_checkpoint(configs.resume_path, state)
         start_epoch = resumed_epoch + 1
-        logger.info("resumed from %s at epoch %d", configs.resume_path, resumed_epoch)
+        # Continue the LR schedule where it left off (the reference restores
+        # lr_scheduler state, train.py:111-117); global_step counts
+        # micro-batches, matching the loop's global_iter.
+        global_iter = int(state.global_step)
+        logger.info("resumed from %s at epoch %d (iteration %d)",
+                    configs.resume_path, resumed_epoch, global_iter)
 
     mesh = make_mesh_for_batch(configs.batch_size)
     logger.info("data mesh: %d device(s) of %d available", mesh.devices.size,
@@ -107,8 +113,8 @@ def main(argv=None) -> None:
             spec, conf_thresh=configs.conf_thresh,
             nms_thresh=configs.nms_thresh, compute_dtype=jnp.float32)
 
+    subdivisions = max(configs.subdivisions, 1)
     profiler_active = False
-    global_iter = 0
     for epoch in range(start_epoch, configs.num_epochs + 1):
         loader.set_epoch(epoch)
         batch_time = AverageMeter("Time", ":6.3f")
@@ -117,7 +123,10 @@ def main(argv=None) -> None:
                                  prefix=f"Epoch [{epoch}/{configs.num_epochs}]")
         t0 = time.time()
         for b_idx, device_batch in enumerate(device_prefetch(loader, mesh)):
-            lr = lr_fn(global_iter, epoch - 1)
+            # multi_step advances per OPTIMIZER iteration — the reference
+            # steps its scheduler only when an optimizer step fires
+            # (train.py:213-218), i.e. every `subdivisions` micro-batches.
+            lr = lr_fn(global_iter // subdivisions, epoch - 1)
             if configs.profile_steps and global_iter == configs.profile_start:
                 jax.profiler.start_trace(configs.logs_dir)
                 profiler_active = True

@@ -45,14 +45,6 @@ def _shared_pool() -> ThreadPoolExecutor:
     return _SHARED_POOL
 
 
-def _resize_batch(imgs: np.ndarray, size: int) -> np.ndarray:
-    if imgs.shape[1] == size:
-        return imgs
-    out = np.empty((imgs.shape[0], size, size, imgs.shape[3]), imgs.dtype)
-    for i in range(imgs.shape[0]):
-        out[i] = cv2.resize(imgs[i], (size, size), interpolation=cv2.INTER_LINEAR)
-    return out
-
 
 class BatchIterator:
     """Deterministic epoch iterator over fixed-shape BEV batches."""

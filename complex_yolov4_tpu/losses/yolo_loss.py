@@ -182,7 +182,7 @@ def build_targets_dense(
         "tx": tx_flat, "ty": ty_flat, "tw": tw_flat, "th": th_flat,
         "tim": tim_flat, "tre": tre_flat, "tcls": tcls_flat,
         "cell": cell, "is_winner": is_winner, "valid": valid, "t5": t5,
-        "tcls_id": cls_safe,
+        "tcls_id": cls_safe, "w_cell": w_cell,
     }
 
 
@@ -220,7 +220,7 @@ def head_loss(
     cell, is_winner, valid = dense["cell"], dense["is_winner"], dense["valid"]
     t5 = dense["t5"]
     cls_safe = dense["tcls_id"]
-    w_cell = jnp.where(is_winner, cell, n_cells).ravel()
+    w_cell = dense["w_cell"]  # winner cells (duplicates resolved), from assignment
 
     def scatter(values: jnp.ndarray) -> jnp.ndarray:
         return (

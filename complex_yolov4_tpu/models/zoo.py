@@ -3,7 +3,7 @@
 Each builder emits the exact layer sequence the corresponding reference cfg
 defines (reference: src/config/cfg/complex_yolov4.cfg etc.), expressed
 structurally (CSP stages, residual blocks, SPP, PANet) instead of a flat cfg
-file. `tests/test_zoo_cfg_parity.py` verifies the emitted NetSpec is identical
+file. `tests/test_models.py::test_zoo_matches_reference_cfg` verifies the emitted NetSpec is identical
 to parsing the reference cfg when the reference tree is present.
 
 Anchors are (w, l, yaw) in input pixels; yaw enters the spec as (sin, cos),

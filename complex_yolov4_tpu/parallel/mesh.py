@@ -94,13 +94,24 @@ def device_prefetch(iterator, mesh: Mesh, keys=("image", "targets", "target_mask
     import collections
 
     sharding = data_sharding(mesh)
+    multi_host = jax.process_count() > 1
+
+    def put(arr):
+        if multi_host:
+            # Each host's loader yields its own shard (loader shard_id /
+            # num_shards); the global batch is their concatenation. A plain
+            # device_put with a global sharding would silently KEEP ONLY the
+            # global slice of each host's local batch.
+            return jax.make_array_from_process_local_data(sharding, arr)
+        return jax.device_put(arr, sharding)
+
     buf = collections.deque()
     it = iter(iterator)
     try:
         while True:
             while len(buf) < depth:
                 host = next(it)
-                buf.append({k: jax.device_put(host[k], sharding) for k in keys})
+                buf.append({k: put(host[k]) for k in keys})
             yield buf.popleft()
     except StopIteration:
         while buf:

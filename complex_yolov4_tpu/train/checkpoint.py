@@ -93,6 +93,13 @@ def restore_checkpoint(path: str, template: TrainState):
 def restore_params_only(path: str) -> Dict[str, Any]:
     """Load weights only (the reference's --pretrained_path mode,
     train.py:89-93)."""
+    return restore_params_and_bn(path)[0]
+
+
+def restore_params_and_bn(path: str):
+    """(params, bn_state) from any checkpoint written by this framework
+    (params/bn_state are plain dicts, so a structureless restore is safe)."""
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(path)
-    return jax.tree.map(np.asarray, restored["params"])
+    return (jax.tree.map(np.asarray, restored["params"]),
+            jax.tree.map(np.asarray, restored["bn_state"]))

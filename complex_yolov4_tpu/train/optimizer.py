@@ -50,7 +50,12 @@ def create_optimizer(
             inner = optax.adam(learning_rate)
         else:
             raise ValueError(f"unknown optimizer_type {optimizer_type!r}")
-        return optax.chain(decay, inner)
+        # MultiSteps AVERAGES the accumulated micro-gradients; the reference
+        # accumulates by SUM (repeated backward() with no scaling,
+        # train.py:212-217), so rescale before weight decay is added — the
+        # decay term itself is applied once per optimizer step in both.
+        pre = [optax.scale(float(subdivisions))] if subdivisions > 1 else []
+        return optax.chain(*pre, decay, inner)
 
     tx = optax.inject_hyperparams(base)(learning_rate=0.0)
     if subdivisions > 1:

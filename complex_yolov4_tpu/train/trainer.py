@@ -119,8 +119,10 @@ def make_eval_step(spec: NetSpec, *, use_giou_loss: bool = False,
 
     @jax.jit
     def step(params, bn_state, batch):
-        (_, head_raw), _ = net.apply(
-            spec, params, bn_state, batch["image"], train=True,
+        # train=False: BN uses running statistics, matching the deployed
+        # model (batch stats would make val loss depend on val batch size).
+        _, head_raw = net.apply(
+            spec, params, bn_state, batch["image"], train=False,
             compute_dtype=compute_dtype)
         total, head_metrics = network_loss(
             spec, head_raw, batch["targets"], batch["target_mask"],
