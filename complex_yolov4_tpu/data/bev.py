@@ -14,14 +14,25 @@ transpose-free NHWC layout for the TPU conv stack; channel order matches the
 reference's CHW index order so imported weights see identical inputs.
 
 The reference builds this with lexsort + np.unique per frame (its data-loader
-hot loop, SURVEY.md §3.4). Here there are two implementations with identical
-observable results:
+hot loop, SURVEY.md §3.4). Here there are two implementations:
 
 - `make_bev_map`: vectorized numpy scatter (np.maximum.at / bincount) for the
-  host input pipeline;
+  host input pipeline — BIT-IDENTICAL to the reference algorithm (and to the
+  native C++ rasterizer);
 - `make_bev_map_jax`: a jit-able, batched segment-max/sum scatter over padded
   point sets, so the whole inference path (raster -> net -> NMS) runs as one
   XLA program on device.
+
+Host-vs-device parity caveats (measured, not hypothetical):
+- XLA lowers `x / disc` to reciprocal-multiply (the terminal pins
+  --xla_allow_excess_precision), which differs from IEEE f32 division by
+  1 ulp; a point whose coordinate sits exactly on a cell boundary in one
+  rounding can land in the adjacent cell (~1 point in 10^6 on real data).
+- Device density math runs in f32 vs the host's f64 (diffs ~1e-5).
+The training/eval pipelines use the host/native path; the fused device path
+serves inference, where a one-cell raster shift on a knife-edge point is far
+below detection noise. tests/test_data.py checks the device path with a
+mismatched-cell budget instead of exact equality.
 
 Tie semantics: when several points in a cell share the exact max z, the
 reference keeps the first in (x, y, -z)-lexsort order; these kernels keep the

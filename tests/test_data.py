@@ -63,13 +63,35 @@ def test_bev_numpy_matches_reference_oracle(scene):
     np.testing.assert_allclose(got, ref, atol=1e-6)
 
 
+def _assert_device_raster_close(dev, host):
+    """Device-vs-host comparison with a knife-edge budget: XLA's
+    reciprocal-multiply division can shift ~1-in-1e6 boundary points by one
+    cell (see data/bev.py docstring); everywhere else values match to f32."""
+    mismatched = np.abs(dev - host).max(axis=-1) > 5e-5
+    assert mismatched.mean() < 1e-4, f"{mismatched.sum()} cells differ"
+    np.testing.assert_allclose(dev[~mismatched], host[~mismatched], atol=5e-5)
+
+
 def test_bev_jax_matches_numpy(scene):
     points, _, _ = scene
     cropped = bev.remove_points_outside(points)
     host = bev.make_bev_map(cropped)
     padded, mask = bev.pad_points(cropped, 120_000)
     dev = np.asarray(bev.make_bev_map_jax(padded, mask))
-    np.testing.assert_allclose(dev, host, atol=1e-5)
+    _assert_device_raster_close(dev, host)
+
+
+def test_bev_jax_knife_edge_scenes():
+    """Scenes that contain boundary-exact points (seed 3 empirically does)
+    stay within the documented mismatch budget."""
+    for seed in (3, 11, 29):
+        rng = np.random.default_rng(seed)
+        points, _, _ = synthetic.sample_scene(rng)
+        cropped = bev.remove_points_outside(points)
+        host = bev.make_bev_map(cropped)
+        padded, mask = bev.pad_points(cropped, 30_000)
+        dev = np.asarray(bev.make_bev_map_jax(padded, mask))
+        _assert_device_raster_close(dev, host)
 
 
 def test_bev_jax_batched(scene):
