@@ -7,6 +7,7 @@ import tempfile
 from typing import Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 
 from ..data import synthetic
 from ..models import get_model_spec, netspec_from_cfg
