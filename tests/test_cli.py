@@ -147,3 +147,32 @@ def test_train_cli_profiler_flag(kitti_root, tmp_path):
     logs = os.path.join(wd, "logs", "complexer_yolo")
     assert any("plugins" in d or "trace" in d.lower()
                for d in os.listdir(logs)), os.listdir(logs)
+
+
+def test_test_cli_video_output(kitti_root, tmp_path):
+    from complex_yolov4_tpu.cli.test import main
+
+    wd = str(tmp_path / "wd")
+    main(["--dataset_dir", kitti_root, "--model", "complex_yolov4_tiny",
+          "--num_samples", "2", "--working_dir", wd, "--save_test_output",
+          "--output_format", "video", "--compute_dtype", "float32"])
+    results = os.path.join(wd, "results", "complexer_yolo")
+    vids = [f for f in os.listdir(results) if f.endswith(".avi")]
+    assert vids and os.path.getsize(os.path.join(results, vids[0])) > 10_000
+
+
+def test_train_cli_with_cfgfile(kitti_root, tmp_path):
+    """--cfgfile path: build the model from the darknet DSL end-to-end."""
+    cfg = "/root/reference/src/config/cfg/complex_yolov4_tiny.cfg"
+    if not os.path.isfile(cfg):
+        import pytest
+
+        pytest.skip("reference cfg tree not present")
+    from complex_yolov4_tpu.cli.train import main
+
+    wd = str(tmp_path / "wd")
+    main(["--dataset_dir", kitti_root, "--cfgfile", cfg, "--batch_size", "2",
+          "--num_epochs", "1", "--subdivisions", "1", "--working_dir", wd,
+          "--checkpoint_freq", "1", "--print_freq", "1",
+          "--compute_dtype", "float32", "--no_val"])
+    assert os.path.isdir(os.path.join(wd, "checkpoints", "complexer_yolo", "epoch_1"))

@@ -271,3 +271,12 @@ def test_loader_multiscale(kitti_root):
     loader = create_train_loader(kitti_root, batch_size=2, multiscale=True, seed=3)
     sizes = {b["image"].shape[1] for b in loader}
     assert sizes.issubset({512, 544, 576, 608, 640, 672, 704})
+
+
+def test_mosaic_random_padding(kitti_root):
+    ds = KittiDataset(kitti_root, mode="train", mosaic=True, random_padding=True)
+    rngs = [np.random.default_rng(s) for s in (0, 1)]
+    canvases = [ds.load_mosaic(0, r)[1] for r in rngs]
+    assert canvases[0].shape == (1216, 1216, 3)
+    # random centers differ between draws
+    assert not np.allclose(canvases[0], canvases[1])
