@@ -116,9 +116,10 @@ def pad_points(points: np.ndarray, max_points: int) -> Tuple[np.ndarray, np.ndar
     return out, mask
 
 
-@partial(jax.jit, static_argnames=("bev_size",))
+@partial(jax.jit, static_argnames=("bev_size", "packed"))
 def make_bev_map_jax(points: jnp.ndarray, mask: jnp.ndarray,
-                     bev_size: int = cnf.BEV_HEIGHT) -> jnp.ndarray:
+                     bev_size: int = cnf.BEV_HEIGHT, *,
+                     packed: bool = False) -> jnp.ndarray:
     """Device rasterizer: (..., N, 4) padded points + (..., N) mask ->
     (..., S, S, 3) BEV maps.
 
@@ -126,19 +127,35 @@ def make_bev_map_jax(points: jnp.ndarray, mask: jnp.ndarray,
     The whole batch is flattened into ONE global scatter per channel
     (cell id = frame * grid^2 + cell): measurably faster on TPU than a
     vmapped per-frame scatter (~20% at batch 16) and identical in output.
+
+    packed=True selects the fast single-scatter variant: the (height,
+    intensity) pair is packed into one int32 key — the top 23 bits of the
+    positive-f32 bit pattern of z (monotone in z) and 8 bits of intensity
+    quantized to 1/255 — so one scatter-max replaces the height scatter,
+    the top-point gather, and the intensity scatter. Accuracy contract:
+    intensity is EXACT for KITTI velodyne data (sensor reflectances are
+    8-bit, stored as i/255, which round-trips through the quantizer);
+    synthetic full-precision intensities quantize with error <= 1/510.
+    Height is truncated to 15 mantissa bits: error <= z * 2^-15, i.e.
+    <= 3.1e-5 on the normalized channel — below the existing 5e-5
+    device-parity budget (and far below the bf16 resolution the network
+    reads the channel at). Tie semantics: cells where several points share
+    the same truncated-z get the max intensity among them (the exact path
+    ties on exact z; identical on real float data).
     """
     single = points.ndim == 2
     if single:
         points, mask = points[None], mask[None]
     flat_pts = points.reshape((-1,) + points.shape[-2:])
     flat_msk = mask.reshape((-1,) + mask.shape[-1:])
-    out = _bev_flat(flat_pts, flat_msk, bev_size)
+    out = _bev_flat(flat_pts, flat_msk, bev_size, packed)
     if single:
         return out[0]
     return out.reshape(points.shape[:-2] + out.shape[-3:])
 
 
-def _bev_flat(points: jnp.ndarray, mask: jnp.ndarray, bev_size: int) -> jnp.ndarray:
+def _bev_flat(points: jnp.ndarray, mask: jnp.ndarray, bev_size: int,
+              packed: bool = False) -> jnp.ndarray:
     b = points.shape[0]
     grid = bev_size + 1
     disc = (cnf.BOUNDARY["maxX"] - cnf.BOUNDARY["minX"]) / bev_size
@@ -157,20 +174,34 @@ def _bev_flat(points: jnp.ndarray, mask: jnp.ndarray, bev_size: int) -> jnp.ndar
     r = jnp.where(live, points[..., 3], 0.0).ravel()
     live_f = live.ravel()
 
-    height = jnp.zeros((n_cells + 1,), jnp.float32).at[cells].max(z, mode="drop")
     counts = jnp.zeros((n_cells + 1,), jnp.float32).at[cells].add(
         mask.ravel(), mode="drop")
 
-    is_top = live_f & (z >= height[cells])
-    intensity = (
-        jnp.zeros((n_cells + 1,), jnp.float32)
-        .at[jnp.where(is_top, cells, n_cells)]
-        .max(jnp.where(is_top, r, 0.0), mode="drop")
-    )
-
-    height = height[:n_cells].reshape(b, grid, grid)
+    if packed:
+        # One scatter-max of (z | intensity) packed into int32 — see
+        # make_bev_map_jax docstring for the accuracy contract.
+        z_bits = jax.lax.bitcast_convert_type(
+            jnp.maximum(z, 0.0).astype(jnp.float32), jnp.int32)
+        r8 = jnp.round(jnp.clip(r, 0.0, 1.0) * 255.0).astype(jnp.int32)
+        key = ((z_bits >> 8) << 8) | r8
+        pk = jnp.zeros((n_cells + 1,), jnp.int32).at[cells].max(key, mode="drop")
+        height = jax.lax.bitcast_convert_type(
+            (pk >> 8) << 8, jnp.float32)
+        intensity = (pk & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+        height = height[:n_cells].reshape(b, grid, grid)
+        intensity = intensity[:n_cells].reshape(b, grid, grid)
+    else:
+        height = jnp.zeros((n_cells + 1,), jnp.float32).at[cells].max(
+            z, mode="drop")
+        is_top = live_f & (z >= height[cells])
+        intensity = (
+            jnp.zeros((n_cells + 1,), jnp.float32)
+            .at[jnp.where(is_top, cells, n_cells)]
+            .max(jnp.where(is_top, r, 0.0), mode="drop")
+        )
+        height = height[:n_cells].reshape(b, grid, grid)
+        intensity = intensity[:n_cells].reshape(b, grid, grid)
     counts = counts[:n_cells].reshape(b, grid, grid)
-    intensity = intensity[:n_cells].reshape(b, grid, grid)
 
     density = jnp.minimum(1.0, jnp.log(counts + 1.0) / _LOG64)
     occupied = counts > 0

@@ -94,6 +94,39 @@ def test_bev_jax_knife_edge_scenes():
         _assert_device_raster_close(dev, host)
 
 
+def test_bev_jax_packed_mode(scene):
+    """Packed single-scatter raster: height within the truncation bound,
+    intensity within the 8-bit quantization bound (see bev.make_bev_map_jax
+    docstring), same knife-edge cell budget as the exact device path."""
+    points, _, _ = scene
+    cropped = bev.remove_points_outside(points)
+    host = bev.make_bev_map(cropped)
+    padded, mask = bev.pad_points(cropped, 120_000)
+    dev = np.asarray(bev.make_bev_map_jax(padded, mask, packed=True))
+    mismatched = np.abs(dev - host).max(axis=-1) > 2.5e-3
+    assert mismatched.mean() < 1e-4, f"{mismatched.sum()} cells differ"
+    err = np.abs(dev[~mismatched] - host[~mismatched]).reshape(-1, 3)
+    assert err[:, 0].max() <= 1.0 / 510 + 1e-6   # intensity: 8-bit quantization
+    assert err[:, 1].max() <= 3.1e-5             # height: 15-mantissa-bit truncation
+    assert err[:, 2].max() == 0.0                # density: identical
+
+
+def test_bev_jax_packed_exact_on_8bit_intensity(scene):
+    """KITTI velodyne reflectances are 8-bit (i/255); on such data the packed
+    path's intensity channel is exact (within one f32 ulp)."""
+    points, _, _ = scene
+    points = points.copy()
+    points[:, 3] = np.round(np.clip(points[:, 3], 0, 1) * 255) / 255.0
+    cropped = bev.remove_points_outside(points)
+    host = bev.make_bev_map(cropped)
+    padded, mask = bev.pad_points(cropped, 120_000)
+    dev = np.asarray(bev.make_bev_map_jax(padded, mask, packed=True))
+    mismatched = np.abs(dev - host).max(axis=-1) > 5e-5
+    assert mismatched.mean() < 1e-4
+    err = np.abs(dev[~mismatched] - host[~mismatched]).reshape(-1, 3)
+    assert err[:, 0].max() <= 1e-6
+
+
 def test_bev_jax_batched(scene):
     points, _, _ = scene
     cropped = bev.remove_points_outside(points)
