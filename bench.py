@@ -50,11 +50,15 @@ def main() -> None:
         cropped = bev_mod.remove_points_outside(pts)
         pts_batch[b], msk_batch[b] = bev_mod.pad_points(cropped, max_pts)
 
+    raster_packed = os.environ.get("BENCH_RASTER", "packed") == "packed"
+    s2d_variant = os.environ.get("BENCH_S2D", "") or None
+
     @jax.jit
     def pipeline(params, points, mask):
-        images = bev_mod.make_bev_map_jax(points, mask)
+        images = bev_mod.make_bev_map_jax(points, mask, packed=raster_packed)
         decoded, _ = net.apply(fspec, params, {}, images,
-                               compute_dtype=jnp.bfloat16)
+                               compute_dtype=jnp.bfloat16,
+                               s2d_early=s2d_variant)
         return nms_batch(decoded, 0.5, 0.5, 128)
 
     points = jnp.asarray(pts_batch)

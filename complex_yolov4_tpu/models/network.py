@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import pallas_conv
+from . import s2d as s2d_mod
 from .spec import ConvSpec, MaxPoolSpec, NetSpec, RouteSpec, ShortcutSpec, UpsampleSpec, YoloSpec
 from .yolo_head import decode_head
 
@@ -151,6 +152,7 @@ def apply(
     train: bool = False,
     compute_dtype=jnp.bfloat16,
     use_pallas_conv: Optional[bool] = None,
+    s2d_early: Optional[str] = None,
 ):
     """Run the network.
 
@@ -164,6 +166,10 @@ def apply(
         (same semantics as reference yolo_layer.py:184-190), and head_raw is
         the list of per-head decode dicts (grid-unit boxes etc., for loss/tests).
       train=True: ((decoded, head_raw), new_state).
+
+    s2d_early ("phase" | "dense" | None): run the lane-starved early backbone
+    in the space-to-depth domain (exact rewrite, see models/s2d.py).
+    Inference only; ignored when train=True.
     """
     if use_pallas_conv is None:
         use_pallas_conv = _use_pallas_default()
@@ -184,8 +190,62 @@ def apply(
         if i > 0 and not isinstance(layer, RouteSpec):
             last_use[i - 1] = max(last_use[i - 1], i)
 
+    seg = s2d_mod.plan_segment(spec, img_size) if (s2d_early and not train) else None
+    seg_out: Dict[int, jnp.ndarray] = {}
+    chans = (spec.in_channels,) + spec.out_channels()
+
+    def folded_wb(i: int, layer: ConvSpec):
+        p = params[f"layer{i}"]
+        if layer.batch_normalize:
+            st = state[f"layer{i}"]
+            inv = jax.lax.rsqrt(st["var"] + BN_EPS) * p["bn_scale"]
+            return p["w"] * inv[None, None, None, :], p["bn_bias"] - st["mean"] * inv
+        return p["w"], p["b"]
+
     h = x
     for i, layer in enumerate(spec.layers):
+        if seg is not None and seg[0] <= i <= seg[1]:
+            # Space-to-depth domain execution (models/s2d.py): every op here
+            # is an exact rewrite; tensors are canonical phase-major s2d.
+            if i == seg[0]:
+                seg_out[i - 1] = s2d_mod.s2d(h)
+                g = seg_out[i - 1]
+            if isinstance(layer, ConvSpec):
+                w_eff, b_eff = folded_wb(i, layer)
+                src = seg_out[i - 1]
+                if layer.size == 3:
+                    g = s2d_mod.conv3x3_s2d(src, w_eff, layer.stride,
+                                            compute_dtype, s2d_early)
+                else:
+                    g = s2d_mod.conv1x1_s2d(src, w_eff, compute_dtype)
+                g = g + jnp.tile(b_eff, 4).astype(g.dtype)
+                g = _act(g, layer.activation).astype(compute_dtype)
+            elif isinstance(layer, RouteSpec):
+                if len(layer.layers) == 1:
+                    src = seg_out[layer.layers[0]]
+                    if layer.groups > 1:
+                        g = s2d_mod.phase_group_slice(
+                            src, chans[layer.layers[0] + 1],
+                            layer.groups, layer.group_id)
+                    else:
+                        g = src
+                else:
+                    g = s2d_mod.phase_concat(
+                        [seg_out[j] for j in layer.layers],
+                        [chans[j + 1] for j in layer.layers])
+            elif isinstance(layer, ShortcutSpec):
+                g = seg_out[layer.from_index] + seg_out[i - 1]
+                g = _act(g, layer.activation)
+            else:  # pragma: no cover - plan_segment excludes other types
+                raise AssertionError(f"unsupported s2d layer {layer!r}")
+            seg_out[i] = g
+            if i == seg[1]:
+                h = s2d_mod.d2s(g).astype(compute_dtype)
+                outputs.append(h)
+                seg_out.clear()
+            else:
+                outputs.append(None)
+            continue
         if isinstance(layer, ConvSpec):
             p = params[f"layer{i}"]
             pad = (layer.size - 1) // 2 if layer.pad else 0

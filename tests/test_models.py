@@ -112,3 +112,36 @@ def test_cfg_parser_errors():
         netspec_from_cfg("[net]\nwidth=64\nheight=64\nchannels=3\n[lstm]\nhidden=1\n")
     with pytest.raises(KeyError):
         get_model_spec("yolo9000")
+
+
+@pytest.mark.parametrize("variant", ["phase", "dense"])
+def test_s2d_early_matches_standard(variant, monkeypatch):
+    """Space-to-depth early-segment execution (models/s2d.py) is an exact
+    rewrite: full-network decoded outputs match the standard executor.
+    MIN_SPATIAL is shrunk so the segment activates at test resolution."""
+    from complex_yolov4_tpu.models import s2d as s2d_mod
+
+    monkeypatch.setattr(s2d_mod, "MIN_SPATIAL", 8)
+    for name, size in (("complex_yolov4_tiny", 128), ("complex_yolov4", 96)):
+        spec = get_model_spec(name)
+        plan = s2d_mod.plan_segment(spec, size)
+        assert plan is not None and plan[1] > plan[0]
+        params, state = net.init_params(spec, jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (1, size, size, 3))
+        base, _ = jax.jit(lambda p, s, xx: net.apply(
+            spec, p, s, xx, compute_dtype=jnp.float32, use_pallas_conv=False))(params, state, x)
+        got, _ = jax.jit(lambda p, s, xx: net.apply(
+            spec, p, s, xx, compute_dtype=jnp.float32, use_pallas_conv=False,
+            s2d_early=variant))(params, state, x)
+        assert bool(jnp.allclose(base, got, atol=1e-4, rtol=1e-4)), name
+
+
+def test_s2d_plan_at_native_resolution():
+    """At 608 the segment covers the CSPDarknet53 stem through the 152->76
+    downsample (layers 1..24); at tiny-net 416 it covers the first stride-2
+    conv only."""
+    from complex_yolov4_tpu.models import s2d as s2d_mod
+
+    assert s2d_mod.plan_segment(get_model_spec("complex_yolov4"), 608) == (1, 24)
+    plan = s2d_mod.plan_segment(get_model_spec("complex_yolov4_tiny"), 416)
+    assert plan is None or plan[0] == 1
