@@ -52,6 +52,12 @@ def main() -> None:
 
     raster_packed = os.environ.get("BENCH_RASTER", "packed") == "packed"
     s2d_variant = os.environ.get("BENCH_S2D", "") or None
+    s2d_end = int(os.environ.get("BENCH_S2D_END", "0"))
+    if s2d_end:
+        from complex_yolov4_tpu.models import s2d as _s2d
+        _orig_plan = _s2d.plan_segment
+        _s2d.plan_segment = lambda spec, h=None, m=None: (
+            (lambda p: (p[0], min(p[1], s2d_end)) if p else None)(_orig_plan(spec, h, m)))
 
     @jax.jit
     def pipeline(params, points, mask):
