@@ -52,6 +52,7 @@ def main() -> None:
 
     raster_packed = os.environ.get("BENCH_RASTER", "packed") == "packed"
     s2d_variant = os.environ.get("BENCH_S2D", "") or None
+    use_quant = os.environ.get("BENCH_QUANT", "") == "int8"
     s2d_end = int(os.environ.get("BENCH_S2D_END", "0"))
     if s2d_end:
         from complex_yolov4_tpu.models import s2d as _s2d
@@ -59,12 +60,38 @@ def main() -> None:
         _s2d.plan_segment = lambda spec, h=None, m=None: (
             (lambda p: (p[0], min(p[1], s2d_end)) if p else None)(_orig_plan(spec, h, m)))
 
+    quant = None
+    if use_quant:
+        from complex_yolov4_tpu.models import quantize as qz
+        from complex_yolov4_tpu.models.spec import ConvSpec
+        calib = np.stack([
+            bev_mod.make_bev_map(
+                bev_mod.remove_points_outside(synthetic.sample_scene(
+                    np.random.default_rng(100 + i))[0]))
+            for i in range(2)
+        ])
+        # BENCH_QUANT_MODE: default (per-layer skip heuristic) | all (only
+        # head convs kept bf16) | late (only convs with C_in >= threshold).
+        mode = os.environ.get("BENCH_QUANT_MODE", "default")
+        skip = None
+        if mode == "all":
+            skip = {0} | qz.head_conv_indices(fspec)
+        elif mode.startswith("late"):
+            thresh = int(mode[4:] or "256")
+            chans = (fspec.in_channels,) + fspec.out_channels()
+            skip = {0} | qz.head_conv_indices(fspec)
+            for i, layer in enumerate(fspec.layers):
+                if isinstance(layer, ConvSpec) and chans[i] < thresh:
+                    skip.add(i)
+        quant = qz.quantize_model(fspec, fparams, [calib], skip=skip)
+        print(f"quant mode={mode}: {len(quant)} convs", file=sys.stderr)
+
     @jax.jit
-    def pipeline(params, points, mask):
+    def pipeline(params, quant, points, mask):
         images = bev_mod.make_bev_map_jax(points, mask, packed=raster_packed)
         decoded, _ = net.apply(fspec, params, {}, images,
                                compute_dtype=jnp.bfloat16,
-                               s2d_early=s2d_variant)
+                               s2d_early=s2d_variant, quant=quant)
         return nms_batch(decoded, 0.5, 0.5, 128)
 
     points = jnp.asarray(pts_batch)
@@ -72,12 +99,12 @@ def main() -> None:
     fparams = jax.device_put(fparams)
 
     for _ in range(warmup):
-        dets, masks = pipeline(fparams, points, mask)
+        dets, masks = pipeline(fparams, quant, points, mask)
     jax.block_until_ready((dets, masks))
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        dets, masks = pipeline(fparams, points, mask)
+        dets, masks = pipeline(fparams, quant, points, mask)
     jax.block_until_ready((dets, masks))
     dt = time.perf_counter() - t0
 

@@ -61,3 +61,29 @@ def resolve_dataset_dir(config) -> str:
 
 def compute_dtype_of(config):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[config.compute_dtype]
+
+
+def maybe_quantize(spec, params, state, config, loader):
+    """--quantize int8 support for the inference CLIs: fold BN, calibrate on
+    the first `config.calib_batches` loader batches, and build the int8 tree
+    (models/quantize.py). Returns (spec, params, state, quant); identity with
+    quant=None when quantization is off."""
+    if getattr(config, "quantize", "none") != "int8":
+        return spec, params, state, None
+    import numpy as np
+
+    from ..models import quantize as qz
+
+    fparams = net.fold_batchnorm(spec, params, state)
+    fspec = net.fold_spec(spec)
+    calib = []
+    for i, batch in enumerate(loader):
+        if i >= max(int(config.calib_batches), 1):
+            break
+        calib.append(np.asarray(batch["image"]))
+    quant = qz.quantize_model(fspec, fparams, calib,
+                              compute_dtype=compute_dtype_of(config))
+    print(f"PTQ int8: {len(quant)} of "
+          f"{sum(1 for k in fparams)} convs quantized "
+          f"({len(calib)} calibration batches)")
+    return fspec, fparams, {}, quant

@@ -33,12 +33,13 @@ def main(argv=None) -> None:
     dataset_dir = common.resolve_dataset_dir(configs)
     spec = common.resolve_spec(configs)
     params, state = common.init_or_load(spec, configs.pretrained_path)
-    infer = make_inference_fn(
-        spec, conf_thresh=configs.conf_thresh, nms_thresh=configs.nms_thresh,
-        compute_dtype=common.compute_dtype_of(configs))
-
     loader = create_test_loader(dataset_dir, configs.batch_size,
                                 num_samples=configs.num_samples)
+    spec, params, state, quant = common.maybe_quantize(
+        spec, params, state, configs, loader)
+    infer = make_inference_fn(
+        spec, conf_thresh=configs.conf_thresh, nms_thresh=configs.nms_thresh,
+        compute_dtype=common.compute_dtype_of(configs), quant=quant)
     if configs.save_test_output:
         os.makedirs(configs.results_dir, exist_ok=True)
     video_writer = None

@@ -119,6 +119,8 @@ class TestConfig:
     synthetic: bool = False
     synthetic_frames: int = 4
     compute_dtype: str = "bfloat16"
+    quantize: str = "none"                   # "none" | "int8" (PTQ, models/quantize.py)
+    calib_batches: int = 2                   # calibration batches for --quantize int8
 
     @property
     def results_dir(self) -> str:
@@ -142,6 +144,8 @@ class EvalConfig:
     synthetic: bool = False
     synthetic_frames: int = 8
     compute_dtype: str = "float32"
+    quantize: str = "none"                   # "none" | "int8" (PTQ, models/quantize.py)
+    calib_batches: int = 2                   # calibration batches for --quantize int8
 
 
 def _add_fields(parser: argparse.ArgumentParser, cls) -> None:

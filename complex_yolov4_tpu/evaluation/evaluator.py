@@ -26,18 +26,26 @@ def make_inference_fn(
     nms_thresh: float = 0.5,
     max_boxes: int = 256,
     compute_dtype=jnp.float32,
+    quant=None,
 ) -> Callable:
     """Jitted (params, state, images) -> (detections, det_masks).
 
     One XLA program: network forward, head decode, and rotated NMS; detection
     rows are [x, y, w, l, im, re, conf, cls_conf, cls_id] in input pixels.
+
+    quant: optional int8 tree (models/quantize.py). Passed to the jit as an
+    argument, not a closure constant — large inlined literals blow up the
+    remote compile.
     """
 
     @jax.jit
-    def infer(params, state, images):
+    def infer_(params, state, quant, images):
         decoded, _ = net.apply(spec, params, state, images, train=False,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype, quant=quant)
         return nms_batch(decoded, conf_thresh, nms_thresh, max_boxes)
+
+    def infer(params, state, images):
+        return infer_(params, state, quant, images)
 
     return infer
 

@@ -153,6 +153,8 @@ def apply(
     compute_dtype=jnp.bfloat16,
     use_pallas_conv: Optional[bool] = None,
     s2d_early: Optional[str] = None,
+    quant: Optional[Dict[str, Any]] = None,
+    capture_act_max: bool = False,
 ):
     """Run the network.
 
@@ -170,6 +172,13 @@ def apply(
     s2d_early ("phase" | "dense" | None): run the lane-starved early backbone
     in the space-to-depth domain (exact rewrite, see models/s2d.py).
     Inference only; ignored when train=True.
+
+    quant: per-layer int8 tree from models/quantize.py — convs present in it
+    run on the int8 MXU path (quantize input, int8 conv, fused dequant+bias+
+    activation epilogue); absent convs use the standard path. Inference only.
+
+    capture_act_max: additionally return {layer_key: max|conv input|} as the
+    last element (calibration support, models/quantize.py).
     """
     if use_pallas_conv is None:
         use_pallas_conv = _use_pallas_default()
@@ -190,8 +199,16 @@ def apply(
         if i > 0 and not isinstance(layer, RouteSpec):
             last_use[i - 1] = max(last_use[i - 1], i)
 
-    seg = s2d_mod.plan_segment(spec, img_size) if (s2d_early and not train) else None
+    seg = (s2d_mod.plan_segment(spec, img_size)
+           if (s2d_early and not train and quant is None) else None)
     seg_out: Dict[int, jnp.ndarray] = {}
+    act_max: Dict[str, jnp.ndarray] = {}
+    # Chained int8: producer epilogues requantize straight to the consumer's
+    # int8 domain where the consumer is the sole reader (models/quantize.py).
+    chain: set = set()
+    if quant is not None and not train:
+        from . import quantize as _qz
+        chain = _qz.chain_set(spec, quant.keys())
     chans = (spec.in_channels,) + spec.out_channels()
 
     def folded_wb(i: int, layer: ConvSpec):
@@ -247,8 +264,42 @@ def apply(
                 outputs.append(None)
             continue
         if isinstance(layer, ConvSpec):
-            p = params[f"layer{i}"]
+            p = params.get(f"layer{i}")
             pad = (layer.size - 1) // 2 if layer.pad else 0
+            if capture_act_max:
+                if h.dtype == jnp.int8:  # chained input: max in the dequant domain
+                    act_max[f"layer{i}"] = (
+                        jnp.max(jnp.abs(h.astype(jnp.float32)))
+                        * quant[f"layer{i}"]["s_x"])
+                else:
+                    act_max[f"layer{i}"] = jnp.max(jnp.abs(h.astype(jnp.float32)))
+            if quant is not None and not train and f"layer{i}" in quant:
+                q = quant[f"layer{i}"]
+                if h.dtype == jnp.int8:  # producer already requantized for us
+                    x_q = h
+                else:
+                    x_q = jnp.clip(
+                        jnp.round(h.astype(jnp.float32) * (1.0 / q["s_x"])),
+                        -127.0, 127.0).astype(jnp.int8)
+                y = jax.lax.conv_general_dilated(
+                    x_q, q["w_i8"],
+                    window_strides=(layer.stride, layer.stride),
+                    padding=[(pad, pad), (pad, pad)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                h = y.astype(jnp.float32) * (q["s_x"] * q["w_scale"]) + q["b"]
+                h = _act(h, layer.activation)
+                if i in chain:  # requantize in-epilogue to the consumer's domain
+                    h = jnp.clip(
+                        jnp.round(h * (1.0 / quant[f"layer{i + 1}"]["s_x"])),
+                        -127.0, 127.0).astype(jnp.int8)
+                else:
+                    h = h.astype(compute_dtype)
+                outputs.append(h)
+                for j in range(i + 1):
+                    if outputs[j] is not None and last_use[j] <= i:
+                        outputs[j] = None
+                continue
             if (
                 use_pallas_conv
                 and not train
@@ -339,6 +390,8 @@ def apply(
         merged = dict(state)
         merged.update(new_state)
         return (decoded, head_raw), merged
+    if capture_act_max:
+        return decoded, head_raw, act_max
     return decoded, head_raw
 
 

@@ -176,3 +176,15 @@ def test_train_cli_with_cfgfile(kitti_root, tmp_path):
           "--checkpoint_freq", "1", "--print_freq", "1",
           "--compute_dtype", "float32", "--no_val"])
     assert os.path.isdir(os.path.join(wd, "checkpoints", "complexer_yolo", "epoch_1"))
+
+
+def test_evaluate_cli_quantized(kitti_root, capsys):
+    """--quantize int8: PTQ calibrates on loader batches and the quantized
+    program produces the mAP report."""
+    from complex_yolov4_tpu.cli.evaluate import main
+
+    main(["--dataset_dir", kitti_root, "--model", "complex_yolov4_tiny",
+          "--num_samples", "2", "--compute_dtype", "float32",
+          "--quantize", "int8", "--calib_batches", "1"])
+    out = capsys.readouterr().out
+    assert "PTQ int8" in out and "mAP" in out

@@ -145,3 +145,47 @@ def test_s2d_plan_at_native_resolution():
     assert s2d_mod.plan_segment(get_model_spec("complex_yolov4"), 608) == (1, 24)
     plan = s2d_mod.plan_segment(get_model_spec("complex_yolov4_tiny"), 416)
     assert plan is None or plan[0] == 1
+
+
+def test_int8_quantized_forward():
+    """PTQ mechanics (models/quantize.py): per-channel weight quantization is
+    within half a step, skipped layers fall back to the standard path, and
+    the quantized network runs with interior activations within ~2% of f32
+    (random-init magnitudes; real accuracy is gated by mAP on a checkpoint)."""
+    import numpy as np
+    from complex_yolov4_tpu.models import quantize as qz
+
+    spec = get_model_spec("complex_yolov4_tiny")
+    params, state = net.init_params(spec, jax.random.PRNGKey(0))
+    fparams = net.fold_batchnorm(spec, params, state)
+    fspec = net.fold_spec(spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 128, 128, 3))
+
+    skip = qz.default_skip(fspec)
+    assert 0 in skip and qz.head_conv_indices(fspec) <= skip
+    # chained-int8 plan: sole-consumer conv->conv pairs exist and stay int8
+    # through the forward (exercised below since chaining is always on)
+    chain = qz.chain_set(fspec, {f"layer{i}" for i, l in enumerate(fspec.layers)
+                                 if isinstance(l, ConvSpec)})
+    cons = qz.consumers(fspec)
+    assert all(cons[i] == {i + 1} for i in chain)
+    quant = qz.quantize_model(fspec, fparams, [np.asarray(x)],
+                              compute_dtype=jnp.float32)
+    assert all(f"layer{i}" not in quant for i in skip)
+    # weight round trip within half a quantization step
+    k = sorted(quant)[0]
+    i = int(k[5:])
+    w = np.asarray(fparams[k]["w"], np.float32)
+    wq = np.asarray(quant[k]["w_i8"], np.float32) * np.asarray(quant[k]["w_scale"])
+    step = np.asarray(quant[k]["w_scale"])
+    assert np.all(np.abs(w - wq) <= step / 2 + 1e-7)
+
+    _, _, am_f = jax.jit(lambda p, xx: net.apply(
+        fspec, p, {}, xx, compute_dtype=jnp.float32, use_pallas_conv=False,
+        capture_act_max=True))(fparams, x)
+    _, _, am_q = jax.jit(lambda p, q, xx: net.apply(
+        fspec, p, {}, xx, compute_dtype=jnp.float32, use_pallas_conv=False,
+        quant=q, capture_act_max=True))(fparams, quant, x)
+    for kk, fv in am_f.items():
+        fv, qv = float(fv), float(am_q[kk])
+        assert abs(fv - qv) <= 0.03 * max(fv, 1e-3), (kk, fv, qv)
