@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import fused_stage as fused_mod
 from ..ops import pallas_conv
 from . import s2d as s2d_mod
 from .spec import ConvSpec, MaxPoolSpec, NetSpec, RouteSpec, ShortcutSpec, UpsampleSpec, YoloSpec
@@ -143,6 +144,14 @@ def _use_pallas_default() -> bool:
         return False
 
 
+def _use_fused_default() -> bool:
+    """Fused-stage kernels are opt-in (FUSED_STAGE=1) until they beat the
+    XLA path e2e — the first cut measured slower (PERF.md)."""
+    import os
+
+    return os.environ.get("FUSED_STAGE", "") == "1"
+
+
 def apply(
     spec: NetSpec,
     params: Params,
@@ -152,6 +161,7 @@ def apply(
     train: bool = False,
     compute_dtype=jnp.bfloat16,
     use_pallas_conv: Optional[bool] = None,
+    use_fused_stage: Optional[bool] = None,
     s2d_early: Optional[str] = None,
     quant: Optional[Dict[str, Any]] = None,
     capture_act_max: bool = False,
@@ -203,6 +213,18 @@ def apply(
            if (s2d_early and not train and quant is None) else None)
     seg_out: Dict[int, jnp.ndarray] = {}
     act_max: Dict[str, jnp.ndarray] = {}
+    # Fused CSP-stage kernels (ops/fused_stage.py): run each early-backbone
+    # stage as ONE Pallas kernel with every intermediate VMEM-resident.
+    # Inference/bf16/square inputs only; inert alongside s2d and calibration.
+    if use_fused_stage is None:
+        use_fused_stage = _use_fused_default()
+    fused_by_start: Dict[int, Any] = {}
+    if (use_fused_stage and not train and seg is None and not capture_act_max
+            and compute_dtype == jnp.bfloat16 and x.shape[1] == x.shape[2]):
+        for fseg in fused_mod.plan_segments(spec, img_size):
+            if quant is None or all(
+                    f"layer{o.layer_index}" not in quant for o in fseg.ops):
+                fused_by_start[fseg.start] = fseg
     # Chained int8: producer epilogues requantize straight to the consumer's
     # int8 domain where the consumer is the sole reader (models/quantize.py).
     chain: set = set()
@@ -220,7 +242,27 @@ def apply(
         return p["w"], p["b"]
 
     h = x
+    fused_until = -1
     for i, layer in enumerate(spec.layers):
+        if i <= fused_until:
+            continue  # inside a fused segment; outputs already appended
+        if i in fused_by_start:
+            fseg = fused_by_start[i]
+            layout = ("packed2" if fused_mod.packed_ok(fseg)
+                      and h.shape[1] % 2 == 0 else "plain")
+            sp = fused_mod.segment_params(
+                fseg, lambda li: folded_wb(li, spec.layers[li]), layout=layout)
+            h = fused_mod.apply_segment(
+                fseg, h.astype(jnp.bfloat16), sp, width=h.shape[1],
+                layout=layout)
+            for _ in range(fseg.start, fseg.end):
+                outputs.append(None)
+            outputs.append(h)
+            fused_until = fseg.end
+            for j in range(fseg.end + 1):
+                if outputs[j] is not None and last_use[j] <= fseg.end:
+                    outputs[j] = None
+            continue
         if seg is not None and seg[0] <= i <= seg[1]:
             # Space-to-depth domain execution (models/s2d.py): every op here
             # is an exact rewrite; tensors are canonical phase-major s2d.
