@@ -52,7 +52,10 @@ def main() -> None:
 
     raster_packed = os.environ.get("BENCH_RASTER", "packed") == "packed"
     s2d_variant = os.environ.get("BENCH_S2D", "") or None
-    use_quant = os.environ.get("BENCH_QUANT", "") == "int8"
+    # int8 PTQ is the default serving config: accuracy-gated on a trained
+    # flagship checkpoint (PERF.md: int8 mAP 0.546 vs bf16 0.442 on the
+    # synthetic val split — no degradation). BENCH_QUANT=none for pure bf16.
+    use_quant = os.environ.get("BENCH_QUANT", "int8") == "int8"
     s2d_end = int(os.environ.get("BENCH_S2D_END", "0"))
     if s2d_end:
         from complex_yolov4_tpu.models import s2d as _s2d
