@@ -65,29 +65,34 @@ def main() -> None:
 
     quant = None
     if use_quant:
-        from complex_yolov4_tpu.models import quantize as qz
-        from complex_yolov4_tpu.models.spec import ConvSpec
-        calib = np.stack([
-            bev_mod.make_bev_map(
-                bev_mod.remove_points_outside(synthetic.sample_scene(
-                    np.random.default_rng(100 + i))[0]))
-            for i in range(2)
-        ])
-        # BENCH_QUANT_MODE: default (per-layer skip heuristic) | all (only
-        # head convs kept bf16) | late (only convs with C_in >= threshold).
-        mode = os.environ.get("BENCH_QUANT_MODE", "default")
-        skip = None
-        if mode == "all":
-            skip = {0} | qz.head_conv_indices(fspec)
-        elif mode.startswith("late"):
-            thresh = int(mode[4:] or "256")
-            chans = (fspec.in_channels,) + fspec.out_channels()
-            skip = {0} | qz.head_conv_indices(fspec)
-            for i, layer in enumerate(fspec.layers):
-                if isinstance(layer, ConvSpec) and chans[i] < thresh:
-                    skip.add(i)
-        quant = qz.quantize_model(fspec, fparams, [calib], skip=skip)
-        print(f"quant mode={mode}: {len(quant)} convs", file=sys.stderr)
+        try:
+            from complex_yolov4_tpu.models import quantize as qz
+            from complex_yolov4_tpu.models.spec import ConvSpec
+            calib = np.stack([
+                bev_mod.make_bev_map(
+                    bev_mod.remove_points_outside(synthetic.sample_scene(
+                        np.random.default_rng(100 + i))[0]))
+                for i in range(2)
+            ])
+            # BENCH_QUANT_MODE: default (per-layer skip heuristic) | all
+            # (only head convs kept bf16) | late<N> (C_in >= N only).
+            mode = os.environ.get("BENCH_QUANT_MODE", "default")
+            skip = None
+            if mode == "all":
+                skip = {0} | qz.head_conv_indices(fspec)
+            elif mode.startswith("late"):
+                thresh = int(mode[4:] or "256")
+                chans = (fspec.in_channels,) + fspec.out_channels()
+                skip = {0} | qz.head_conv_indices(fspec)
+                for i, layer in enumerate(fspec.layers):
+                    if isinstance(layer, ConvSpec) and chans[i] < thresh:
+                        skip.add(i)
+            quant = qz.quantize_model(fspec, fparams, [calib], skip=skip)
+            print(f"quant mode={mode}: {len(quant)} convs", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — bench must still report bf16
+            print(f"int8 PTQ unavailable ({type(e).__name__}: {e}); "
+                  "benchmarking bf16", file=sys.stderr)
+            quant = None
 
     @jax.jit
     def pipeline(params, quant, points, mask):
