@@ -24,6 +24,7 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    nms_k = int(os.environ.get("BENCH_NMS_K", "128"))  # detection capacity
 
     import jax
     import jax.numpy as jnp
@@ -100,7 +101,7 @@ def main() -> None:
         decoded, _ = net.apply(fspec, params, {}, images,
                                compute_dtype=jnp.bfloat16,
                                s2d_early=s2d_variant, quant=quant)
-        return nms_batch(decoded, 0.5, 0.5, 128)
+        return nms_batch(decoded, 0.5, 0.5, nms_k)
 
     points = jnp.asarray(pts_batch)
     mask = jnp.asarray(msk_batch)
