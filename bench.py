@@ -117,6 +117,16 @@ def main() -> None:
     jax.block_until_ready((dets, masks))
     dt = time.perf_counter() - t0
 
+    # Timing-integrity guard (PERF.md "Timing through the axon tunnel"):
+    # the tunnel reports poisoned/failed buffers as instantly ready, so a
+    # silently failed pipeline would bench as a very fast one. Force a real
+    # value read of the detections and assert it is finite — if the buffers
+    # are poisoned this read raises and no number is printed.
+    dets_host = np.asarray(dets)
+    if not np.all(np.isfinite(dets_host)):
+        raise RuntimeError("bench produced non-finite detections — "
+                           "refusing to report a throughput number")
+
     fps = batch * iters / dt
     print(json.dumps({
         "metric": "bev_e2e_inference_608",

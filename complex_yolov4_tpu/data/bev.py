@@ -119,7 +119,7 @@ def pad_points(points: np.ndarray, max_points: int) -> Tuple[np.ndarray, np.ndar
 @partial(jax.jit, static_argnames=("bev_size", "packed"))
 def make_bev_map_jax(points: jnp.ndarray, mask: jnp.ndarray,
                      bev_size: int = cnf.BEV_HEIGHT, *,
-                     packed: bool = False) -> jnp.ndarray:
+                     packed: bool = True) -> jnp.ndarray:
     """Device rasterizer: (..., N, 4) padded points + (..., N) mask ->
     (..., S, S, 3) BEV maps.
 
@@ -128,7 +128,9 @@ def make_bev_map_jax(points: jnp.ndarray, mask: jnp.ndarray,
     (cell id = frame * grid^2 + cell): measurably faster on TPU than a
     vmapped per-frame scatter (~20% at batch 16) and identical in output.
 
-    packed=True selects the fast single-scatter variant: the (height,
+    packed=True (the default — it is what bench.py measures, so every
+    serving surface runs the measured config) selects the fast
+    single-scatter variant: the (height,
     intensity) pair is packed into one int32 key — the top 23 bits of the
     positive-f32 bit pattern of z (monotone in z) and 8 bits of intensity
     quantized to 1/255 — so one scatter-max replaces the height scatter,

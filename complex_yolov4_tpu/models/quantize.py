@@ -145,12 +145,16 @@ def calibrate(
     from . import network as net  # local import to avoid a cycle
 
     fspec = spec
-    run = jax.jit(lambda x: net.apply(
-        fspec, folded_params, {}, x, compute_dtype=compute_dtype,
+    # params must be an ARGUMENT of the jitted fn, not a closure constant:
+    # closing over them embeds every weight as a literal in the compiled
+    # program, which blows up remote compiles through the axon tunnel
+    # (same anti-pattern evaluation/evaluator.py documents).
+    run = jax.jit(lambda p, x: net.apply(
+        fspec, p, {}, x, compute_dtype=compute_dtype,
         use_pallas_conv=False, capture_act_max=True)[-1])
     acc: Dict[str, float] = {}
     for batch in batches:
-        maxes = jax.device_get(run(jnp.asarray(batch)))
+        maxes = jax.device_get(run(folded_params, jnp.asarray(batch)))
         for k, v in maxes.items():
             acc[k] = max(acc.get(k, 0.0), float(v))
     return acc

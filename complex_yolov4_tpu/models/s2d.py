@@ -103,7 +103,11 @@ def plan_segment(spec: NetSpec, height: Optional[int] = None,
         in_sp = out_sp[i - 1] if not isinstance(l, RouteSpec) else None
         ok = (
             (isinstance(l, ConvSpec) and out_sp[i - 1] >= min_sp
-             and l.size in (1, 3) and l.stride in (1, 2) and (l.size == 1 or l.pad))
+             # 1x1 convs are only admitted at stride 1: the executor's
+             # conv1x1_s2d has no stride plumbing, so a pointwise stride-2
+             # conv inside a segment would silently run at stride 1.
+             and ((l.size == 3 and l.pad and l.stride in (1, 2))
+                  or (l.size == 1 and l.stride == 1)))
             or isinstance(l, (RouteSpec, ShortcutSpec))
         )
         if isinstance(l, (RouteSpec, ShortcutSpec)):

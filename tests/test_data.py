@@ -77,7 +77,7 @@ def test_bev_jax_matches_numpy(scene):
     cropped = bev.remove_points_outside(points)
     host = bev.make_bev_map(cropped)
     padded, mask = bev.pad_points(cropped, 120_000)
-    dev = np.asarray(bev.make_bev_map_jax(padded, mask))
+    dev = np.asarray(bev.make_bev_map_jax(padded, mask, packed=False))
     _assert_device_raster_close(dev, host)
 
 
@@ -90,7 +90,7 @@ def test_bev_jax_knife_edge_scenes():
         cropped = bev.remove_points_outside(points)
         host = bev.make_bev_map(cropped)
         padded, mask = bev.pad_points(cropped, 30_000)
-        dev = np.asarray(bev.make_bev_map_jax(padded, mask))
+        dev = np.asarray(bev.make_bev_map_jax(padded, mask, packed=False))
         _assert_device_raster_close(dev, host)
 
 
