@@ -1,0 +1,117 @@
+"""Per-stage breakdown of the e2e inference pipeline on the real chip.
+
+Measures, with the differential async-timing protocol (PERF.md), at the
+bench default config (packed raster, int8 PTQ, batch 16, 608):
+  - raster only
+  - raster + forward (no NMS)
+  - full pipeline (raster + forward + NMS)
+and reports per-stage ms/batch by differencing.
+
+Usage: python scripts/bench_stages.py [--quant none] [--nms_k 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def timed(fn, args, iters=20, warmup=3):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    # poisoned-buffer guard: force a real read
+    flat = jax.tree_util.tree_leaves(out)
+    assert np.all(np.isfinite(np.asarray(flat[0]))), "non-finite output"
+    return dt
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quant", default="int8", choices=["int8", "none"])
+    ap.add_argument("--nms_k", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from complex_yolov4_tpu.data import bev as bev_mod
+    from complex_yolov4_tpu.data import synthetic
+    from complex_yolov4_tpu.models import get_model_spec
+    from complex_yolov4_tpu.models import network as net
+    from complex_yolov4_tpu.models import quantize as qz
+    from complex_yolov4_tpu.ops.nms import nms_batch
+
+    batch = args.batch
+    spec = get_model_spec("complex_yolov4")
+    params, state = net.init_params(spec, jax.random.PRNGKey(0))
+    fparams = jax.device_put(net.fold_batchnorm(spec, params, state))
+    fspec = net.fold_spec(spec)
+
+    max_pts = 20480
+    pts_batch = np.zeros((batch, max_pts, 4), np.float32)
+    msk_batch = np.zeros((batch, max_pts), np.float32)
+    for b in range(batch):
+        pts, _, _ = synthetic.sample_scene(np.random.default_rng(b))
+        cropped = bev_mod.remove_points_outside(pts)
+        pts_batch[b], msk_batch[b] = bev_mod.pad_points(cropped, max_pts)
+    points = jnp.asarray(pts_batch)
+    mask = jnp.asarray(msk_batch)
+
+    quant = None
+    if args.quant == "int8":
+        calib = np.stack([
+            bev_mod.make_bev_map(
+                bev_mod.remove_points_outside(
+                    synthetic.sample_scene(np.random.default_rng(100 + i))[0]))
+            for i in range(2)
+        ])
+        quant = qz.quantize_model(fspec, fparams, [calib])
+        print(f"quant: {len(quant)} convs", file=sys.stderr)
+
+    @jax.jit
+    def raster_only(points, mask):
+        return jnp.sum(bev_mod.make_bev_map_jax(points, mask),
+                       axis=(1, 2, 3))  # reduce so nothing is elided
+
+    @jax.jit
+    def raster_fwd(params, quant, points, mask):
+        images = bev_mod.make_bev_map_jax(points, mask)
+        decoded, _ = net.apply(fspec, params, {}, images,
+                               compute_dtype=jnp.bfloat16, quant=quant)
+        return jnp.sum(decoded, axis=(1, 2))
+
+    @jax.jit
+    def full(params, quant, points, mask):
+        images = bev_mod.make_bev_map_jax(points, mask)
+        decoded, _ = net.apply(fspec, params, {}, images,
+                               compute_dtype=jnp.bfloat16, quant=quant)
+        return nms_batch(decoded, 0.5, 0.5, args.nms_k)
+
+    t_r = timed(raster_only, (points, mask), args.iters)
+    t_rf = timed(raster_fwd, (fparams, quant, points, mask), args.iters)
+    t_all = timed(full, (fparams, quant, points, mask), args.iters)
+
+    print(f"config: quant={args.quant} nms_k={args.nms_k} batch={batch}")
+    print(f"raster-only:        {t_r * 1e3:7.2f} ms/batch")
+    print(f"raster+forward:     {t_rf * 1e3:7.2f} ms/batch "
+          f"(forward ~ {(t_rf - t_r) * 1e3:.2f})")
+    print(f"full pipeline:      {t_all * 1e3:7.2f} ms/batch "
+          f"(nms+decode-tail ~ {(t_all - t_rf) * 1e3:.2f})")
+    print(f"e2e frames/sec:     {batch / t_all:7.1f}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
