@@ -59,6 +59,25 @@ def resolve_dataset_dir(config) -> str:
     return config.dataset_dir
 
 
+def dummy_train_batch(batch_size: int, img_size: int, mesh=None) -> dict:
+    """Zero-filled batch with the exact train-step pytree/shape/dtype
+    signature ({image, targets, target_mask}) for warming jit caches — one
+    per multiscale size bucket. Sharded over the mesh's data axis when given
+    so it matches the compiled step's input shardings."""
+    from ..data.targets import MAX_TARGETS
+    from ..parallel import mesh as pmesh
+
+    batch = {
+        "image": jnp.zeros((batch_size, img_size, img_size, 3), jnp.float32),
+        "targets": jnp.zeros((batch_size, MAX_TARGETS, 7), jnp.float32),
+        "target_mask": jnp.zeros((batch_size, MAX_TARGETS), jnp.float32),
+    }
+    if mesh is not None:
+        sharding = pmesh.data_sharding(mesh)
+        batch = {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    return batch
+
+
 def compute_dtype_of(config):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[config.compute_dtype]
 

@@ -104,6 +104,24 @@ def main(argv=None) -> None:
         cutout_nholes=configs.cutout_nholes, cutout_ratio=configs.cutout_ratio,
         cutout_fill_value=configs.cutout_fill_value)
 
+    if configs.multiscale_training and not configs.no_precompile_multiscale:
+        # Multiscale redraws the input size every 10 batches
+        # (reference: kitti_dataset.py:224-230); each new size is a fresh XLA
+        # compile of the step (20-60 s remote), which otherwise lands as
+        # unpredictable mid-epoch stalls. Warm every size bucket up front with
+        # dummy steps on a THROWAWAY copy of the state (the step donates its
+        # state argument), so epoch 1 runs stall-free.
+        t_pre = time.time()
+        dummy_state = jax.tree.map(jnp.copy, state)
+        for size in loader.size_choices:
+            dummy = common.dummy_train_batch(
+                configs.batch_size, size, mesh=mesh)
+            dummy_state, _ = step(dummy_state, dummy, jnp.float32(0.0))
+        jax.block_until_ready(dummy_state.params)
+        del dummy_state
+        logger.info("precompiled %d multiscale size buckets in %.1fs",
+                    len(loader.size_choices), time.time() - t_pre)
+
     infer_fn = None
     val_loader = None
     if not configs.no_val:

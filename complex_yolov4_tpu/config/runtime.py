@@ -40,6 +40,7 @@ class TrainConfig:
     cutout_ratio: float = 0.3
     cutout_fill_value: float = 0.0
     multiscale_training: bool = False
+    no_precompile_multiscale: bool = False  # skip up-front size-bucket jits
     mosaic: bool = False
     random_padding: bool = False
 

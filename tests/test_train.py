@@ -71,6 +71,37 @@ def test_train_step_updates_params_and_decreases_loss():
     assert losses[-1] < losses[0]  # overfits a fixed batch quickly
 
 
+def test_train_step_across_multiscale_sizes():
+    """One compiled step function must serve consecutive multiscale sizes
+    (reference redraws the size every 10 batches, kitti_dataset.py:224-230);
+    each size is its own jit cache entry and the CLI precompiles them
+    (cli/train.py). The step must produce finite, size-consistent results
+    when sizes alternate back-to-back."""
+    from complex_yolov4_tpu.cli.common import dummy_train_batch
+
+    spec, state, step, batch64 = _tiny_setup(size=64)
+    rng = np.random.default_rng(1)
+    batch96 = {
+        "image": rng.uniform(size=(2, 96, 96, 3)).astype(np.float32),
+        "targets": batch64["targets"],
+        "target_mask": batch64["target_mask"],
+    }
+    losses = []
+    for b in (batch64, batch96, batch64, batch96):
+        state, metrics = step(state, b, jnp.float32(1e-3))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert int(state.global_step) == 4
+
+    # the CLI's warmup batches must match the loader's pytree signature
+    dummy = dummy_train_batch(2, 96)
+    ref_struct = jax.tree_util.tree_structure(batch96)
+    assert jax.tree_util.tree_structure(dummy) == ref_struct
+    assert dummy["image"].shape == batch96["image"].shape
+    state, metrics = step(state, dummy, jnp.float32(0.0))
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_gradient_accumulation_semantics():
     """With subdivisions=k, params change only every k micro-steps."""
     _, state, step, batch = _tiny_setup(subdivisions=2)
