@@ -32,6 +32,57 @@ from .kitti import (
 from .transforms import camera_to_lidar_box
 
 
+class _ProbeUnsupported(TypeError):
+    """An image-space transform did something the aug probe can't record."""
+
+
+class _AugProbe:
+    """Records image-space augmentation decisions without an image.
+
+    Stands in for the (H, W, 3) BEV array when rasterization is deferred to
+    the fused native mosaic: the REAL transform objects run with their normal
+    RNG draws (so the random stream is bit-identical to the numpy path), but
+    instead of moving pixels they record `flipped` and cutout `holes`
+    (y1, y2, x1, x2, fill), which the C++ pass applies as index math.
+    Supports exactly the ndarray ops HorizontalFlip/Cutout perform; anything
+    else raises `_ProbeUnsupported`, which falls back to the numpy path.
+    """
+
+    __slots__ = ("shape", "flipped", "holes")
+
+    def __init__(self, h: int, w: int):
+        self.shape = (h, w, 3)
+        self.flipped = False
+        self.holes: List[Tuple[int, int, int, int, float]] = []
+
+    def copy(self) -> "_AugProbe":
+        return self
+
+    def __getitem__(self, key):
+        # HorizontalFlip's img[:, ::-1, :]
+        full = slice(None, None, None)
+        if (isinstance(key, tuple) and len(key) == 3 and key[0] == full
+                and key[1] == slice(None, None, -1) and key[2] == full):
+            out = _AugProbe(self.shape[0], self.shape[1])
+            out.flipped = not self.flipped
+            out.holes = list(self.holes)
+            return out
+        raise _ProbeUnsupported(f"unsupported probe slice {key!r}")
+
+    def __setitem__(self, key, value):
+        # Cutout's img[y1:y2, x1:x2, :] = fill
+        if (isinstance(key, tuple) and len(key) == 3
+                and isinstance(key[0], slice) and isinstance(key[1], slice)
+                and key[2] == slice(None, None, None)
+                and key[0].step is None and key[1].step is None
+                and np.isscalar(value)):
+            self.holes.append((int(key[0].start), int(key[0].stop),
+                               int(key[1].start), int(key[1].stop),
+                               float(value)))
+            return
+        raise _ProbeUnsupported(f"unsupported probe assignment {key!r}")
+
+
 class KittiDataset:
     """Indexable KITTI BEV dataset (train / val / test modes)."""
 
@@ -102,9 +153,16 @@ class KittiDataset:
         cropped = bev_mod.remove_points_outside(read_velodyne(lidar_path))
         return self.get_image_path(sample_id), bev_mod.make_bev_map(cropped)
 
-    def load_sample(self, index: int, rng: Optional[np.random.Generator] = None):
+    def load_sample(self, index: int, rng: Optional[np.random.Generator] = None,
+                    defer_raster: bool = False):
         """(img_path, bev HWC, targets (T,7), mask (T,)) for one frame
-        (reference: kitti_dataset.py:87-121)."""
+        (reference: kitti_dataset.py:87-121).
+
+        With `defer_raster=True` (fused native mosaic) no image is built:
+        `img` comes back as ``(_AugProbe, points)`` — the augmentation
+        decisions plus the post-transform points — while the RNG stream and
+        target processing stay bit-identical to the normal path.
+        """
         rng = rng or np.random.default_rng()
         sample_id = self.sample_id_list[index]
         lidar = self.get_lidar(sample_id)
@@ -116,12 +174,15 @@ class KittiDataset:
         if self.lidar_transforms is not None:
             lidar, labels[:, 1:] = self.lidar_transforms(rng, lidar, labels[:, 1:])
 
-        from .. import native
-
-        if native.is_available():
-            img = native.rasterize_points(lidar)  # bit-identical, ~10x faster
+        if defer_raster:
+            img = _AugProbe(cnf.BEV_HEIGHT, cnf.BEV_WIDTH)
         else:
-            img = bev_mod.make_bev_map(bev_mod.remove_points_outside(lidar))
+            from .. import native
+
+            if native.is_available():
+                img = native.rasterize_points(lidar)  # bit-identical, ~10x faster
+            else:
+                img = bev_mod.make_bev_map(bev_mod.remove_points_outside(lidar))
         targets, mask = tgt_mod.build_yolo_targets(
             labels if not no_obj else np.zeros((0, 8), np.float32),
             max_targets=self.max_targets,
@@ -129,9 +190,88 @@ class KittiDataset:
 
         if self.aug_transforms is not None:
             img, (targets, mask) = self.aug_transforms(rng, img, (targets, mask))
+        if defer_raster:
+            return self.get_image_path(sample_id), (img, lidar), targets, mask
         return self.get_image_path(sample_id), img, targets, mask
 
     def load_mosaic(self, index: int, rng: np.random.Generator):
+        """4-frame mosaic (reference: kitti_dataset.py:123-175).
+
+        Dispatches to the fused native path (C++: raster + flip/cutout +
+        placement + 2:1 resize in one pass, returning the final S x S canvas)
+        when available; otherwise builds the 2S x 2S canvas in numpy and the
+        caller resizes back to S. Both paths consume the identical RNG
+        stream, so a given (seed, epoch, index) yields the same sample
+        (fused: bit-equal points/targets, canvas equal to the numpy+cv2
+        result; tests/test_native.py enforces)."""
+        from .. import native
+
+        if (native.is_available() and self.img_size == cnf.BEV_WIDTH
+                and not os.environ.get("CYV4_PYTHON_MOSAIC")):
+            state = rng.bit_generator.state
+            try:
+                return self._load_mosaic_native(index, rng)
+            except (TypeError, AttributeError, NotImplementedError):
+                # a custom image-space transform the probe can't record —
+                # rewind the RNG and take the numpy path
+                rng.bit_generator.state = state
+        return self._load_mosaic_python(index, rng)
+
+    def _load_mosaic_native(self, index: int, rng: np.random.Generator):
+        from .. import native
+
+        s = self.img_size
+        if self.random_padding:
+            yc, xc = (int(rng.uniform(s // 2, 2 * s - s // 2)) for _ in range(2))
+        else:
+            yc, xc = s, s
+
+        indices = [index] + [int(rng.integers(0, len(self))) for _ in range(3)]
+        img_paths = []
+        pts_list, flips, holes_list = [], [], []
+        all_t: List[np.ndarray] = []
+        for i, idx in enumerate(indices):
+            path, (probe, pts), targets, mask = self.load_sample(
+                idx, rng, defer_raster=True)
+            img_paths.append(path)
+            pts_list.append(pts)
+            flips.append(probe.flipped)
+            holes_list.append(probe.holes)
+            h, w = probe.shape[0], probe.shape[1]
+            if i == 0:    # top left
+                x1a, y1a = max(xc - w, 0), max(yc - h, 0)
+                x1b, y1b = w - (xc - x1a), h - (yc - y1a)
+            elif i == 1:  # top right
+                x1a, y1a = xc, max(yc - h, 0)
+                x1b, y1b = 0, h - (yc - y1a)
+            elif i == 2:  # bottom left
+                x1a, y1a = max(xc - w, 0), yc
+                x1b, y1b = w - (xc - x1a), 0
+            else:         # bottom right
+                x1a, y1a = xc, yc
+                x1b, y1b = 0, 0
+            padw, padh = x1a - x1b, y1a - y1b
+
+            t = targets.copy()
+            live = mask > 0
+            t[live, 1] = (t[live, 1] * w + padw) / (2 * s)
+            t[live, 2] = (t[live, 2] * h + padh) / (2 * s)
+            t[live, 3] = t[live, 3] * w / (2 * s)
+            t[live, 4] = t[live, 4] * h / (2 * s)
+            all_t.append(t[live])
+
+        canvas = native.mosaic_rasterize(pts_list, flips, holes_list, yc, xc)
+        merged = (np.concatenate(all_t, axis=0) if all_t
+                  else np.zeros((0, 7), np.float32))
+        merged[:, 1:3] = np.clip(merged[:, 1:3], 0.0, 1.0 - 0.5 / s)
+        n = min(merged.shape[0], self.max_targets)
+        targets = np.zeros((self.max_targets, 7), np.float32)
+        mask = np.zeros((self.max_targets,), np.float32)
+        targets[:n] = merged[:n]
+        mask[:n] = 1.0
+        return img_paths, canvas, targets, mask
+
+    def _load_mosaic_python(self, index: int, rng: np.random.Generator):
         """4-frame mosaic on a 2S x 2S canvas filled 0.5, then the caller
         resizes back to S (reference: kitti_dataset.py:123-175)."""
         s = self.img_size

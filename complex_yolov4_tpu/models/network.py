@@ -450,6 +450,11 @@ def fold_batchnorm(spec: NetSpec, params: Params, state: State) -> Params:
     """Fold BN running stats into conv weights for inference
     (y = scale*(conv(x)-mean)/sqrt(var+eps)+bias  ==  conv'(x)+b').
     Returns a new param tree where every conv has a bias and no BN entries."""
+    # One batched D2H for the whole tree: folding math is numpy (float64 for
+    # parity), and pulling ~550 arrays one np.asarray at a time costs a
+    # synchronous ~50 ms tunnel round trip EACH through axon. No-op when the
+    # params are already host-side.
+    params, state = jax.device_get((params, state))
     folded: Params = {}
     for i, layer in enumerate(spec.layers):
         key = f"layer{i}"

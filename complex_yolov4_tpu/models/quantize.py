@@ -113,6 +113,9 @@ def quantize_weights(
     Layers in `skip` (default `default_skip`) are omitted."""
     if skip is None:
         skip = default_skip(spec)
+    # Batch the D2H: per-array np.asarray costs one synchronous tunnel round
+    # trip each on axon (no-op for host-side trees).
+    folded_params = jax.device_get(folded_params)
     out: Params = {}
     for i, layer in enumerate(spec.layers):
         key = f"layer{i}"

@@ -47,6 +47,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int32]
     lib.cyv4_rasterize_batch.restype = ctypes.c_int32
+    lib.cyv4_mosaic.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float)]
     _lib = lib
     return _lib
 
@@ -68,6 +73,41 @@ def rasterize_points(points: np.ndarray) -> np.ndarray:
     lib.cyv4_rasterize_points(
         pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_int64(pts.shape[0]),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
+
+
+def mosaic_rasterize(points_list: List[np.ndarray], flips: List[bool],
+                     holes_list: List[List[tuple]], yc: int,
+                     xc: int) -> np.ndarray:
+    """Fused 4-frame mosaic: rasterize + flip/cutout + placement + 2:1 resize
+    in one C++ pass (matches dataset.load_mosaic followed by the loader's
+    cv2.INTER_LINEAR downsample; see bev_native.cpp::mosaic).
+
+    points_list: 4 (n_q, 4) float32 post-augmentation point arrays.
+    holes_list: per-frame cutout rows (y1, y2, x1, x2, fill) in sub-image
+    coords (after flip). Returns the final (608, 608, 3) float32 canvas.
+    """
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    assert len(points_list) == 4 and len(flips) == 4 and len(holes_list) == 4
+    pts = np.concatenate(
+        [np.ascontiguousarray(p, np.float32).reshape(-1, 4)
+         for p in points_list], axis=0)
+    npts = np.array([p.shape[0] for p in points_list], np.int64)
+    flips_arr = np.array([1 if f else 0 for f in flips], np.uint8)
+    hole_counts = np.array([len(h) for h in holes_list], np.int32)
+    all_holes = [row for h in holes_list for row in h]
+    holes = (np.array(all_holes, np.float32).reshape(-1, 5)
+             if all_holes else np.zeros((0, 5), np.float32))
+    out = np.empty((608, 608, 3), np.float32)
+    lib.cyv4_mosaic(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        npts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        flips_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        holes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        hole_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int32(int(yc)), ctypes.c_int32(int(xc)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
 

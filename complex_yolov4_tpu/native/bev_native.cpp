@@ -30,19 +30,53 @@ constexpr float kMinZ = -2.73f, kMaxZ = 1.27f;
 constexpr float kDisc = (kMaxX - kMinX) / kBev;
 constexpr float kMaxHeight = kMaxZ - kMinZ;  // 4.0 m
 
+// Stamped cell: `stamp` says which rasterization pass last touched the cell,
+// so the 4.5 MB grid never needs clearing between frames (a cell whose stamp
+// is stale reads as empty). One persistent grid per worker thread.
 struct Cell {
-  float height = -1.0f;   // max z (post-shift z >= 0, so -1 = empty)
-  float intensity = 0.0f; // intensity of the top point (max on z ties)
-  int32_t count = 0;
+  float height;    // max z (post-shift z >= 0)
+  float intensity; // intensity of the top point (max on z ties)
+  int32_t count;
+  uint32_t stamp;
 };
 
-// One fused pass: crop + z-shift + scatter. out is HWC (608, 608, 3) with
-// channels [top intensity, max height / 4 m, log64 density].
-void rasterize(const float* points, int64_t n, float* out) {
-  std::vector<Cell> cells(static_cast<size_t>(kGrid) * kGrid);
-  // Density math in double for bit parity with the numpy float64 path.
-  const double log64 = std::log(64.0);
+struct Grid {
+  std::vector<Cell> cells;
+  uint32_t stamp = 0;
 
+  Cell* begin_pass() {
+    if (cells.empty()) {
+      cells.assign(static_cast<size_t>(kGrid) * kGrid, Cell{0.f, 0.f, 0, 0});
+      stamp = 0;
+    }
+    ++stamp;
+    if (stamp == 0) {  // wrapped: force-clear once every 2^32 passes
+      std::fill(cells.begin(), cells.end(), Cell{0.f, 0.f, 0, 0});
+      stamp = 1;
+    }
+    return cells.data();
+  }
+};
+
+thread_local Grid tls_grid;
+thread_local Grid tls_mosaic_grids[4];
+
+// log64-density lookup: density saturates at count >= 63
+// (min(1, log(c+1)/log 64)); double math for bit parity with numpy float64.
+struct DensityTable {
+  float v[64];
+  DensityTable() {
+    const double log64 = std::log(64.0);
+    for (int c = 0; c < 64; ++c) {
+      v[c] = static_cast<float>(std::min(1.0, std::log(c + 1.0) / log64));
+    }
+  }
+};
+const DensityTable kDensity;
+
+// Crop + z-shift + scatter one frame's points into a stamped grid.
+void scatter_points(const float* points, int64_t n, Cell* cells,
+                    uint32_t stamp) {
   for (int64_t p = 0; p < n; ++p) {
     const float x = points[p * 4 + 0];
     const float y = points[p * 4 + 1];
@@ -59,6 +93,9 @@ void rasterize(const float* points, int64_t n, float* out) {
     const int iy = static_cast<int>(std::floor(y / kDisc) + kGrid / 2.0f);
     if (ix < 0 || ix >= kGrid || iy < 0 || iy >= kGrid) continue;
     Cell& c = cells[static_cast<size_t>(ix) * kGrid + iy];
+    if (c.stamp != stamp) {
+      c = Cell{-1.0f, 0.0f, 0, stamp};  // height -1 = "no point yet"
+    }
     c.count += 1;
     if (z > c.height) {
       c.height = z;
@@ -67,18 +104,137 @@ void rasterize(const float* points, int64_t n, float* out) {
       c.intensity = std::max(c.intensity, r);
     }
   }
+}
 
+inline void cell_value(const Cell& c, uint32_t stamp, float* px) {
+  if (c.stamp == stamp && c.count > 0) {
+    px[0] = c.intensity;
+    px[1] = c.height / kMaxHeight;
+    px[2] = kDensity.v[std::min(c.count, 63)];
+  } else {
+    px[0] = px[1] = px[2] = 0.0f;
+  }
+}
+
+// One fused pass: crop + z-shift + scatter. out is HWC (608, 608, 3) with
+// channels [top intensity, max height / 4 m, log64 density].
+void rasterize(const float* points, int64_t n, float* out) {
+  Cell* cells = tls_grid.begin_pass();
+  const uint32_t stamp = tls_grid.stamp;
+  scatter_points(points, n, cells, stamp);
   for (int ix = 0; ix < kBev; ++ix) {
     for (int iy = 0; iy < kBev; ++iy) {
-      const Cell& c = cells[static_cast<size_t>(ix) * kGrid + iy];
-      float* px = out + (static_cast<size_t>(ix) * kBev + iy) * 3;
-      if (c.count > 0) {
-        px[0] = c.intensity;
-        px[1] = c.height / kMaxHeight;
-        px[2] = static_cast<float>(
-            std::min(1.0, std::log(c.count + 1.0) / log64));
-      } else {
-        px[0] = px[1] = px[2] = 0.0f;
+      cell_value(cells[static_cast<size_t>(ix) * kGrid + iy], stamp,
+                 out + (static_cast<size_t>(ix) * kBev + iy) * 3);
+    }
+  }
+}
+
+// ---- fused 4-frame mosaic -------------------------------------------------
+//
+// Replicates dataset.load_mosaic + the loader's cv2 2:1 INTER_LINEAR resize
+// (reference: kitti_dataset.py:123-175) without materializing any
+// intermediate image: the 4 sub-frames stay as stamped cell grids, and one
+// output pass produces the final (608, 608, 3) canvas directly. A virtual
+// 1216x1216 canvas pixel is evaluated on the fly — quadrant window lookup,
+// horizontal flip as an index mirror, cutout holes as a coordinate test —
+// and 2x2 blocks are averaged with cv2's exact float expression
+// (rows interpolated horizontally first, then combined vertically).
+
+struct Window {  // one sub-frame's placement on the 2S x 2S canvas
+  int y1a, y2a, x1a, x2a;  // canvas window
+  int y1b, x1b;            // top-left of the crop in sub-image coords
+};
+
+struct Hole {
+  int y1, y2, x1, x2;
+  float fill;
+};
+
+// Evaluate virtual canvas pixel (cy, cx) -> v[3].
+inline void canvas_value(int cy, int cx, int yc, int xc, const Window* win,
+                         Cell* const* grids, const uint32_t* stamps,
+                         const uint8_t* flips, const Hole* holes,
+                         const int32_t* hole_off, float* v) {
+  const int q = (cy < yc) ? ((cx < xc) ? 0 : 1) : ((cx < xc) ? 2 : 3);
+  const Window& w = win[q];
+  if (cy < w.y1a || cy >= w.y2a || cx < w.x1a || cx >= w.x2a) {
+    v[0] = v[1] = v[2] = 0.5f;  // canvas padding (np.full(..., 0.5))
+    return;
+  }
+  const int py = cy - w.y1a + w.y1b;          // sub-image row (= grid ix)
+  const int px = cx - w.x1a + w.x1b;          // sub-image col after aug
+  for (int h = hole_off[q]; h < hole_off[q + 1]; ++h) {
+    const Hole& hole = holes[h];
+    if (py >= hole.y1 && py < hole.y2 && px >= hole.x1 && px < hole.x2) {
+      v[0] = v[1] = v[2] = hole.fill;
+      return;
+    }
+  }
+  const int gx = flips[q] ? (kBev - 1 - px) : px;  // un-flip to raster col
+  cell_value(grids[q][static_cast<size_t>(py) * kGrid + gx], stamps[q], v);
+}
+
+void mosaic(const float* points, const int64_t* npts, const uint8_t* flips,
+            const float* holes_raw, const int32_t* hole_counts, int32_t yc,
+            int32_t xc, float* out) {
+  Cell* grids[4];
+  uint32_t stamps[4];
+  const float* p = points;
+  for (int q = 0; q < 4; ++q) {
+    grids[q] = tls_mosaic_grids[q].begin_pass();
+    stamps[q] = tls_mosaic_grids[q].stamp;
+    scatter_points(p, npts[q], grids[q], stamps[q]);
+    p += npts[q] * 4;
+  }
+
+  // Placement windows (dataset.load_mosaic with w = h = s = kBev).
+  const int s2 = 2 * kBev;
+  Window win[4];
+  // top left
+  win[0] = {std::max(yc - kBev, 0), yc, std::max(xc - kBev, 0), xc, 0, 0};
+  win[0].y1b = kBev - (win[0].y2a - win[0].y1a);
+  win[0].x1b = kBev - (win[0].x2a - win[0].x1a);
+  // top right
+  win[1] = {std::max(yc - kBev, 0), yc, xc, std::min(xc + kBev, s2), 0, 0};
+  win[1].y1b = kBev - (win[1].y2a - win[1].y1a);
+  win[1].x1b = 0;
+  // bottom left
+  win[2] = {yc, std::min(s2, yc + kBev), std::max(xc - kBev, 0), xc, 0, 0};
+  win[2].y1b = 0;
+  win[2].x1b = kBev - (win[2].x2a - win[2].x1a);
+  // bottom right
+  win[3] = {yc, std::min(s2, yc + kBev), xc, std::min(xc + kBev, s2), 0, 0};
+  win[3].y1b = 0;
+  win[3].x1b = 0;
+
+  int32_t hole_off[5] = {0, 0, 0, 0, 0};
+  for (int q = 0; q < 4; ++q) hole_off[q + 1] = hole_off[q] + hole_counts[q];
+  std::vector<Hole> holes(static_cast<size_t>(hole_off[4]));
+  for (int h = 0; h < hole_off[4]; ++h) {
+    const float* r = holes_raw + h * 5;
+    holes[h] = {static_cast<int>(r[0]), static_cast<int>(r[1]),
+                static_cast<int>(r[2]), static_cast<int>(r[3]), r[4]};
+  }
+
+  for (int oy = 0; oy < kBev; ++oy) {
+    float* row_out = out + static_cast<size_t>(oy) * kBev * 3;
+    for (int ox = 0; ox < kBev; ++ox) {
+      float p00[3], p01[3], p10[3], p11[3];
+      canvas_value(2 * oy, 2 * ox, yc, xc, win, grids, stamps, flips,
+                   holes.data(), hole_off, p00);
+      canvas_value(2 * oy, 2 * ox + 1, yc, xc, win, grids, stamps, flips,
+                   holes.data(), hole_off, p01);
+      canvas_value(2 * oy + 1, 2 * ox, yc, xc, win, grids, stamps, flips,
+                   holes.data(), hole_off, p10);
+      canvas_value(2 * oy + 1, 2 * ox + 1, yc, xc, win, grids, stamps, flips,
+                   holes.data(), hole_off, p11);
+      float* px = row_out + ox * 3;
+      for (int c = 0; c < 3; ++c) {
+        // cv2 INTER_LINEAR at exact 2:1: horizontal lerp (0.5/0.5) per row,
+        // then vertical lerp of the two rows.
+        px[c] = (p00[c] * 0.5f + p01[c] * 0.5f) * 0.5f +
+                (p10[c] * 0.5f + p11[c] * 0.5f) * 0.5f;
       }
     }
   }
@@ -137,6 +293,18 @@ int32_t cyv4_rasterize_batch(const char** paths, int32_t b, float* out,
   for (int32_t t = 0; t < num_threads; ++t) pool.emplace_back(worker);
   for (auto& t : pool) t.join();
   return failures.load();
+}
+
+// Fused 4-frame mosaic: `points` is the concatenation of the 4 frames'
+// (n_q, 4) float32 point arrays (post lidar-augmentation, uncropped);
+// `flips[q]` marks horizontally-flipped sub-frames; `holes` is
+// (sum hole_counts, 5) rows [y1, y2, x1, x2, fill] in sub-image coords.
+// out is the FINAL resized (608, 608, 3) canvas.
+void cyv4_mosaic(const float* points, const int64_t* npts,
+                 const uint8_t* flips, const float* holes,
+                 const int32_t* hole_counts, int32_t yc, int32_t xc,
+                 float* out) {
+  mosaic(points, npts, flips, holes, hole_counts, yc, xc, out);
 }
 
 int32_t cyv4_bev_size() { return kBev; }

@@ -57,7 +57,10 @@ def main() -> None:
     batch = args.batch
     spec = get_model_spec("complex_yolov4")
     params, state = net.init_params(spec, jax.random.PRNGKey(0))
-    fparams = jax.device_put(net.fold_batchnorm(spec, params, state))
+    # Keep folded params on HOST until after quantization: quantize_weights
+    # reads every kernel with np.asarray, and a device tree would drag
+    # ~256 MB back through the 0.03 GB/s tunnel (hours).
+    fparams = net.fold_batchnorm(spec, params, state)
     fspec = net.fold_spec(spec)
 
     max_pts = 20480
@@ -79,7 +82,8 @@ def main() -> None:
             for i in range(2)
         ])
         quant = qz.quantize_model(fspec, fparams, [calib])
-        print(f"quant: {len(quant)} convs", file=sys.stderr)
+        print(f"quant: {len(quant)} convs", file=sys.stderr, flush=True)
+    fparams = jax.device_put(fparams)
 
     @jax.jit
     def raster_only(points, mask):
