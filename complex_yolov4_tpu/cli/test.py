@@ -75,6 +75,20 @@ def main(argv=None) -> None:
             else:
                 out_img = bev_img
 
+            if configs.save_3d:
+                from ..utils.viewer_html import (detections_to_lidar_boxes,
+                                                 save_lidar_html)
+                os.makedirs(configs.results_dir, exist_ok=True)
+                labels = detections_to_lidar_boxes(
+                    dets[i], masks[i], float(images.shape[1]))
+                boxes7 = labels[:, 1:]
+                boxes7[:, 2] += boxes7[:, 3] / 2.0  # bottom z -> center z
+                save_lidar_html(
+                    ds.get_lidar(sample_id),
+                    os.path.join(configs.results_dir, f"{sample_id:06d}.html"),
+                    boxes_lidar=boxes7, box_classes=labels[:, 0],
+                    title=f"frame {sample_id:06d} — detections")
+
             if configs.save_test_output:
                 if configs.output_format == "image":
                     cv2.imwrite(os.path.join(

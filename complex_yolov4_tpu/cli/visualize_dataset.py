@@ -35,6 +35,9 @@ def main(argv=None) -> None:
                         help="apply the training augmentation recipe")
     parser.add_argument("--output_dir", type=str, default="./viz_out")
     parser.add_argument("--show", action="store_true")
+    parser.add_argument("--html_3d", action="store_true",
+                        help="also write an interactive 3-D HTML viewer "
+                             "(raw cloud + GT boxes) per sample")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--synthetic_frames", type=int, default=8)
@@ -57,6 +60,25 @@ def main(argv=None) -> None:
         out_path = os.path.join(args.output_dir, f"sample_{k:03d}.jpg")
         cv2.imwrite(out_path, bev_img)
         print(f"wrote {out_path} ({int(mask.sum())} boxes)")
+        if args.html_3d and not args.mosaic:
+            from ..data.kitti import objects_to_bev_labels
+            from ..data.transforms import camera_to_lidar_box
+            from ..utils.viewer_html import save_lidar_html
+            sample_id = ds.sample_id_list[k]
+            labels, no_obj = objects_to_bev_labels(ds.get_label(sample_id))
+            calib = ds.get_calib(sample_id)
+            boxes7 = np.zeros((0, 7))
+            classes = np.zeros((0,))
+            if not no_obj:
+                boxes7 = camera_to_lidar_box(labels[:, 1:],
+                                             V2C=calib.V2C, R0=calib.R0)
+                boxes7[:, 2] += boxes7[:, 3] / 2.0  # bottom z -> center z
+                classes = labels[:, 0]
+            html_path = os.path.join(args.output_dir, f"sample_{k:03d}.html")
+            save_lidar_html(ds.get_lidar(sample_id), html_path,
+                            boxes_lidar=boxes7, box_classes=classes,
+                            title=f"sample {sample_id:06d} — ground truth")
+            print(f"wrote {html_path}")
         if args.show:
             cv2.imshow("dataset", bev_img)
             if cv2.waitKey(0) & 0xFF == 27:

@@ -117,6 +117,7 @@ class TestConfig:
     save_test_output: bool = False
     output_format: str = "image"
     output_video_fn: str = "out_complexer_yolo"
+    save_3d: bool = False                    # interactive HTML lidar viewer per frame
     synthetic: bool = False
     synthetic_frames: int = 4
     compute_dtype: str = "bfloat16"

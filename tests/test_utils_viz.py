@@ -92,3 +92,59 @@ def test_save_lidar_3d(tmp_path):
     out = str(tmp_path / "cloud.png")
     viz.save_lidar_3d(pts, out, boxes_lidar=boxes)
     assert os.path.getsize(out) > 10_000
+
+
+def test_save_lidar_html_interactive_viewer(tmp_path):
+    from complex_yolov4_tpu.utils import viewer_html
+
+    rng = np.random.default_rng(1)
+    pts, boxes, cls = synthetic.sample_scene(rng)
+    out = str(tmp_path / "cloud.html")
+    viewer_html.save_lidar_html(pts, out, boxes_lidar=boxes, box_classes=cls)
+    html = open(out).read()
+    # self-contained: no external script/link references
+    assert "http://" not in html and "https://" not in html
+    assert "WEBGL" in html.upper() or "webgl" in html
+    # point payload embedded and sized right (N * 4 floats * 4 bytes, b64)
+    assert str(pts.shape[0]) in html
+    assert len(html) > pts.shape[0] * 16  # b64 of the cloud dominates
+    # every box contributes 24 wireframe vertices
+    import json as _json
+    start = html.index('{"verts":')
+    depth = 0
+    for i in range(start, len(html)):
+        depth += {"{": 1, "}": -1}.get(html[i], 0)
+        if depth == 0:
+            lines = _json.loads(html[start:i + 1])
+            break
+    assert len(lines["verts"]) == boxes.shape[0] * 24
+    assert len(lines["cols"]) == len(lines["verts"])
+
+
+def test_detections_to_lidar_boxes_roundtrip():
+    """Detections placed at known BEV positions decode to lidar boxes whose
+    BEV footprint matches targets_to_bev_pixels geometry."""
+    from complex_yolov4_tpu.config import kitti as cnf
+    from complex_yolov4_tpu.utils import viewer_html
+
+    img = 608.0
+    # one detection: center of the BEV map, 20x40 px, yaw 0.3
+    yaw = 0.3
+    det = np.zeros((2, 9), np.float32)
+    det[0] = [304.0, 304.0, 20.0, 40.0, np.sin(yaw), np.cos(yaw),
+              0.9, 0.8, 0.0]
+    mask = np.array([1.0, 0.0], np.float32)
+    labels = viewer_html.detections_to_lidar_boxes(det, mask, img)
+    assert labels.shape == (1, 8)
+    cls, x, y, z, h, w, l, rz = labels[0]
+    bc = cnf.BOUNDARY
+    # center of the raster maps to the middle of the x/y ranges
+    np.testing.assert_allclose(x, (bc["maxX"] + bc["minX"]) / 2, atol=1e-6)
+    np.testing.assert_allclose(y, (bc["maxY"] + bc["minY"]) / 2, atol=1e-6)
+    # widths unnormalize through the +0.3 m inflation inverse
+    span_x = bc["maxX"] - bc["minX"]
+    span_y = bc["maxY"] - bc["minY"]
+    np.testing.assert_allclose(w, 20.0 / img * span_y - 0.3, atol=1e-5)
+    np.testing.assert_allclose(l, 40.0 / img * span_x - 0.3, atol=1e-5)
+    # viewer yaw equals the BEV yaw atan2(im, re) (mod 2pi)
+    assert abs((rz - yaw + np.pi) % (2 * np.pi) - np.pi) < 1e-6
