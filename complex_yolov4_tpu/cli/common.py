@@ -59,19 +59,34 @@ def resolve_dataset_dir(config) -> str:
     return config.dataset_dir
 
 
-def dummy_train_batch(batch_size: int, img_size: int, mesh=None) -> dict:
+def dummy_train_batch(batch_size: int, img_size: int, mesh=None,
+                      device_raster: bool = False, max_holes: int = 1) -> dict:
     """Zero-filled batch with the exact train-step pytree/shape/dtype
-    signature ({image, targets, target_mask}) for warming jit caches — one
-    per multiscale size bucket. Sharded over the mesh's data axis when given
-    so it matches the compiled step's input shardings."""
+    signature for warming jit caches — one per multiscale size bucket.
+    Sharded over the mesh's data axis when given so it matches the compiled
+    step's input shardings. `device_raster` emits the deferred-batch
+    signature (points + aug decisions, loader.py) instead of images."""
     from ..data.targets import MAX_TARGETS
     from ..parallel import mesh as pmesh
 
-    batch = {
-        "image": jnp.zeros((batch_size, img_size, img_size, 3), jnp.float32),
-        "targets": jnp.zeros((batch_size, MAX_TARGETS, 7), jnp.float32),
-        "target_mask": jnp.zeros((batch_size, MAX_TARGETS), jnp.float32),
-    }
+    if device_raster:
+        from ..data.loader import MAX_POINTS
+
+        batch = {
+            "points": jnp.zeros((batch_size, MAX_POINTS, 4), jnp.float32),
+            "point_mask": jnp.zeros((batch_size, MAX_POINTS), jnp.float32),
+            "flip": jnp.zeros((batch_size,), jnp.float32),
+            "holes": jnp.zeros((batch_size, max_holes, 5), jnp.float32),
+            "hole_mask": jnp.zeros((batch_size, max_holes), jnp.float32),
+            "targets": jnp.zeros((batch_size, MAX_TARGETS, 7), jnp.float32),
+            "target_mask": jnp.zeros((batch_size, MAX_TARGETS), jnp.float32),
+        }
+    else:
+        batch = {
+            "image": jnp.zeros((batch_size, img_size, img_size, 3), jnp.float32),
+            "targets": jnp.zeros((batch_size, MAX_TARGETS, 7), jnp.float32),
+            "target_mask": jnp.zeros((batch_size, MAX_TARGETS), jnp.float32),
+        }
     if mesh is not None:
         sharding = pmesh.data_sharding(mesh)
         batch = {k: jax.device_put(v, sharding) for k, v in batch.items()}

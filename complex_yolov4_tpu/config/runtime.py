@@ -40,7 +40,11 @@ class TrainConfig:
     cutout_ratio: float = 0.3
     cutout_fill_value: float = 0.0
     multiscale_training: bool = False
-    no_precompile_multiscale: bool = False  # skip up-front size-bucket jits
+    no_precompile_multiscale: bool = False   # skip up-front size-bucket jits
+    host_raster: bool = False                # force host-side BEV rasterization
+                                             # (default: rasterize on device,
+                                             # uploading compact points instead
+                                             # of images; mosaic always host)
     mosaic: bool = False
     random_padding: bool = False
 

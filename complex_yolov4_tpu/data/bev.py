@@ -213,3 +213,37 @@ def _bev_flat(points: jnp.ndarray, mask: jnp.ndarray, bev_size: int,
 
     full = jnp.stack([intensity, height, density], axis=-1)
     return full[:, :bev_size, :bev_size, :]
+
+
+def images_from_deferred_batch(batch, out_size: int,
+                               bev_size: int = cnf.BEV_HEIGHT) -> jnp.ndarray:
+    """Device-side tail of the deferred-raster training pipeline: padded
+    points + recorded augmentation decisions -> (B, out_size, out_size, 3).
+
+    Mirrors the host path exactly in order and semantics
+    (dataset.load_sample + HorizontalFlip/Cutout + the loader's multiscale
+    resize, reference: kitti_dataset.py:87-121 / transformation.py:376-437 /
+    kitti_dataset.py:224-230): rasterize at the native 608, flip width,
+    punch cutout holes, then resize. Traceable — call inside the jitted
+    train step.
+    """
+    img = make_bev_map_jax(batch["points"], batch["point_mask"], bev_size)
+    flip = batch["flip"] > 0.5                                 # (B,)
+    img = jnp.where(flip[:, None, None, None], img[:, :, ::-1, :], img)
+    holes = batch["holes"]                                     # (B, H, 5)
+    hole_mask = batch["hole_mask"]                             # (B, H)
+    if holes.shape[1]:
+        rows = jnp.arange(bev_size, dtype=jnp.float32)[None, :, None]
+        cols = jnp.arange(bev_size, dtype=jnp.float32)[None, None, :]
+        for h in range(holes.shape[1]):
+            y1, y2 = holes[:, h, 0, None, None], holes[:, h, 1, None, None]
+            x1, x2 = holes[:, h, 2, None, None], holes[:, h, 3, None, None]
+            fill = holes[:, h, 4, None, None]
+            inside = ((rows >= y1) & (rows < y2) & (cols >= x1) & (cols < x2)
+                      & (hole_mask[:, h, None, None] > 0.5))
+            img = jnp.where(inside[..., None], fill[..., None], img)
+    if out_size != bev_size:
+        img = jax.image.resize(
+            img, (img.shape[0], out_size, out_size, img.shape[3]),
+            method="linear", antialias=False)  # cv2 INTER_LINEAR semantics
+    return img

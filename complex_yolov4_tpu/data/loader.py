@@ -31,6 +31,11 @@ from .transforms import default_aug_transforms, default_lidar_transforms
 
 _MULTISCALE_EVERY = 10  # batches between size redraws (reference parity)
 
+# Static point padding for the device-raster training path (matches the
+# serving pipeline's right-sized pad, PERF.md): boundary-cropped KITTI /
+# synthetic clouds stay under this.
+MAX_POINTS = 20480
+
 # One process-wide assembly pool shared by every BatchIterator (avoids
 # leaking idle threads when loaders are created per epoch/test).
 _SHARED_POOL: Optional[ThreadPoolExecutor] = None
@@ -61,12 +66,22 @@ class BatchIterator:
         num_shards: int = 1,
         prefetch: int = 2,
         workers: int = 0,
+        device_raster: bool = False,
+        max_holes: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.multiscale = multiscale and not dataset.mosaic
+        # Device-raster mode (training): emit compact padded POINTS plus the
+        # image-space augmentation decisions instead of rasterized images —
+        # the jitted train step rasterizes on device (~14x less H2D; critical
+        # through low-bandwidth links, and frees the host for augmentation).
+        # Mosaic keeps the host/native raster path (its canvas resize is an
+        # image-space op).
+        self.device_raster = device_raster and not dataset.mosaic
+        self.max_holes = max_holes
         self.seed = seed
         self.shard_id = shard_id
         self.num_shards = num_shards
@@ -102,7 +117,58 @@ class BatchIterator:
             img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
         return img, targets, mask
 
+    def _load_one_deferred(self, index: int, j: int):
+        """Device-raster sample: (points, pmask, flip, holes, hole_mask,
+        targets, mask). The SAME rng stream as `_load_one` (the transforms run
+        normally; only pixel movement is deferred to the device)."""
+        from . import bev as bev_mod
+
+        rng = np.random.default_rng((self.seed, self.epoch, int(index), j))
+        _, (probe, lidar), targets, mask = self.dataset.load_sample(
+            int(index), rng, defer_raster=True)
+        pts, pmask = bev_mod.pad_points(
+            bev_mod.remove_points_outside(lidar), MAX_POINTS)
+        holes = np.zeros((self.max_holes, 5), np.float32)
+        hole_mask = np.zeros((self.max_holes,), np.float32)
+        for h, (y1, y2, x1, x2, fill) in enumerate(probe.holes[: self.max_holes]):
+            holes[h] = (y1, y2, x1, x2, fill)
+            hole_mask[h] = 1.0
+        return (pts, pmask, np.float32(probe.flipped), holes, hole_mask,
+                targets, mask)
+
+    def _make_batch_deferred(self, indices: np.ndarray, size: int) -> Dict[str, np.ndarray]:
+        from .dataset import _ProbeUnsupported
+
+        try:
+            if self.workers > 1 and len(indices) > 1:
+                results = list(_shared_pool().map(
+                    lambda ji: self._load_one_deferred(int(ji[1]), ji[0]),
+                    enumerate(indices)))
+            else:
+                results = [self._load_one_deferred(int(index), j)
+                           for j, index in enumerate(indices)]
+        except _ProbeUnsupported:
+            return None  # custom transform moved pixels; host path required
+        cols = list(zip(*results))
+        batch = {
+            "points": np.stack(cols[0]),
+            "point_mask": np.stack(cols[1]),
+            "flip": np.asarray(cols[2], np.float32),
+            "holes": np.stack(cols[3]),
+            "hole_mask": np.stack(cols[4]),
+            "targets": np.stack(cols[5]).astype(np.float32),
+            "target_mask": np.stack(cols[6]).astype(np.float32),
+            "sample_ids": np.asarray(
+                [self.dataset.sample_id_list[int(i)] for i in indices], np.int64),
+            "size": int(size),
+        }
+        return batch
+
     def _make_batch(self, indices: np.ndarray, batch_idx: int, size: int) -> Dict[str, np.ndarray]:
+        if self.device_raster:
+            batch = self._make_batch_deferred(indices, size)
+            if batch is not None:
+                return batch
         imgs, tgts, masks, ids = [], [], [], []
         # Sample assembly is IO + cv2 + the native rasterizer — all GIL-
         # releasing — so a thread pool parallelizes it effectively (the
@@ -179,7 +245,8 @@ def create_train_loader(dataset_dir: str, batch_size: int, *,
                         replicate_reference_bug: bool = True,
                         hflip_prob: float = 0.5, cutout_prob: float = 0.0,
                         cutout_nholes: int = 1, cutout_ratio: float = 0.3,
-                        cutout_fill_value: float = 0.0) -> BatchIterator:
+                        cutout_fill_value: float = 0.0,
+                        device_raster: bool = False) -> BatchIterator:
     """Training pipeline with the reference augmentation recipe
     (reference: kitti_dataloader.py:22-47)."""
     ds = KittiDataset(
@@ -191,7 +258,9 @@ def create_train_loader(dataset_dir: str, batch_size: int, *,
         num_samples=num_samples, mosaic=mosaic, random_padding=random_padding,
     )
     return BatchIterator(ds, batch_size, shuffle=True, multiscale=multiscale,
-                         seed=seed, shard_id=shard_id, num_shards=num_shards)
+                         seed=seed, shard_id=shard_id, num_shards=num_shards,
+                         device_raster=device_raster,
+                         max_holes=max(cutout_nholes, 1))
 
 
 def create_val_loader(dataset_dir: str, batch_size: int, *,

@@ -86,11 +86,12 @@ def replicate_tree(mesh: Mesh, tree):
 
 
 def device_prefetch(iterator, mesh: Mesh, keys=("image", "targets", "target_mask"),
-                    depth: int = 2):
+                    depth: int = 2, host_keys=()):
     """Wrap a host batch iterator: device_put each batch (batch axis sharded
     over `data`) `depth` steps ahead so H2D transfer overlaps the device
     step — the SPMD answer to DataLoader pin_memory/non_blocking
-    (reference: train.py:203-204)."""
+    (reference: train.py:203-204). Keys absent from a batch are skipped;
+    `host_keys` pass through unconverted (e.g. the multiscale `size`)."""
     import collections
 
     sharding = data_sharding(mesh)
@@ -111,7 +112,9 @@ def device_prefetch(iterator, mesh: Mesh, keys=("image", "targets", "target_mask
         while True:
             while len(buf) < depth:
                 host = next(it)
-                buf.append({k: put(host[k]) for k in keys})
+                dev = {k: put(host[k]) for k in keys if k in host}
+                dev.update({k: host[k] for k in host_keys if k in host})
+                buf.append(dev)
             yield buf.popleft()
     except StopIteration:
         while buf:

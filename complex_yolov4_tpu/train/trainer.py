@@ -25,6 +25,12 @@ from ..parallel import mesh as pmesh
 from .optimizer import set_learning_rate
 
 
+def cnf_bev_size() -> int:
+    from ..config import kitti as cnf
+
+    return cnf.BEV_HEIGHT
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class TrainState:
@@ -53,6 +59,7 @@ def make_train_step(
     compute_dtype=jnp.bfloat16,
     mesh=None,
     remat: bool = False,
+    device_raster: bool = False,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jnp.ndarray],
               Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted (state, batch, lr) -> (state, metrics) step.
@@ -61,7 +68,16 @@ def make_train_step(
     `data` axis and state replicated — the DDP equivalent, minus DDP.
     `remat` rematerializes the forward in the backward pass (jax.checkpoint),
     roughly halving activation memory for larger per-chip batches.
+
+    With `device_raster`, the step takes the loader's deferred batches
+    (compact points + augmentation decisions, loader.py `device_raster=True`)
+    and builds the BEV images ON DEVICE inside the jit, then takes an extra
+    trailing `img_size` static argument (the multiscale bucket) —
+    (state, batch, lr, img_size). Per-step H2D drops ~14x (points vs
+    rasterized images), which is the difference between a starved and a
+    saturated chip on low-H2D-bandwidth hosts.
     """
+    from ..data import bev as bev_mod
 
     def forward(params, bn_state, images):
         return net.apply(spec, params, bn_state, images, train=True,
@@ -70,8 +86,13 @@ def make_train_step(
     if remat:
         forward = jax.checkpoint(forward)
 
-    def step(state: TrainState, batch: Dict[str, jnp.ndarray], lr: jnp.ndarray):
-        images = batch["image"]
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], lr: jnp.ndarray,
+             img_size: int = 0):
+        if device_raster:
+            images = bev_mod.images_from_deferred_batch(
+                batch, img_size or cnf_bev_size())
+        else:
+            images = batch["image"]
         targets = batch["targets"]
         tmask = batch["target_mask"]
 
@@ -101,15 +122,21 @@ def make_train_step(
         return new_state, metrics
 
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0,))
+        return jax.jit(step, donate_argnums=(0,), static_argnums=(3,))
 
     repl = pmesh.replicated(mesh)
     data = pmesh.data_sharding(mesh)
+    if device_raster:
+        batch_sh = {k: data for k in ("points", "point_mask", "flip", "holes",
+                                      "hole_mask", "targets", "target_mask")}
+    else:
+        batch_sh = {"image": data, "targets": data, "target_mask": data}
     return jax.jit(
         step,
-        in_shardings=(repl, {"image": data, "targets": data, "target_mask": data}, repl),
+        in_shardings=(repl, batch_sh, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
+        static_argnums=(3,),
     )
 
 

@@ -310,6 +310,41 @@ def test_loader_multiscale(kitti_root):
     assert sizes.issubset({512, 544, 576, 608, 640, 672, 704})
 
 
+def test_loader_device_raster_matches_host(kitti_root):
+    """The deferred-raster training batches (points + aug decisions,
+    rasterized on device) must reproduce the host pipeline's images for the
+    same (seed, epoch, index) stream — within the packed-raster quantization
+    budget (intensity <= 1/510, height <= 3.1e-5; bev.py docstring) — and
+    identical targets (the RNG stream is shared by construction)."""
+    mk = lambda dr: create_train_loader(
+        kitti_root, batch_size=3, seed=11, hflip_prob=0.5, cutout_prob=1.0,
+        cutout_nholes=2, device_raster=dr)
+    host = next(iter(mk(False)))
+    dev = next(iter(mk(True)))
+    np.testing.assert_array_equal(dev["targets"], host["targets"])
+    np.testing.assert_array_equal(dev["target_mask"], host["target_mask"])
+    from complex_yolov4_tpu.data.loader import MAX_POINTS
+
+    assert dev["points"].shape == (3, MAX_POINTS, 4)
+    assert "image" not in dev
+    imgs = np.asarray(bev.images_from_deferred_batch(dev, 608))
+    assert imgs.shape == host["image"].shape
+    np.testing.assert_allclose(imgs, host["image"], atol=2.1e-3)
+    # the sample stream actually exercised flip + cutout on this seed
+    assert dev["flip"].sum() >= 1
+    assert dev["hole_mask"].sum() >= 1
+
+
+def test_loader_device_raster_multiscale(kitti_root):
+    loader = create_train_loader(kitti_root, batch_size=2, multiscale=True,
+                                 seed=3, device_raster=True)
+    batch = next(iter(loader))
+    assert batch["size"] in {512, 544, 576, 608, 640, 672, 704}
+    imgs = np.asarray(bev.images_from_deferred_batch(batch, int(batch["size"])))
+    assert imgs.shape == (2, batch["size"], batch["size"], 3)
+    assert np.isfinite(imgs).all()
+
+
 def test_mosaic_random_padding(kitti_root):
     ds = KittiDataset(kitti_root, mode="train", mosaic=True, random_padding=True)
     rngs = [np.random.default_rng(s) for s in (0, 1)]

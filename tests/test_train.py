@@ -102,6 +102,88 @@ def test_train_step_across_multiscale_sizes():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def _deferred_batch(batch=2, seed=0, max_holes=1):
+    """Synthetic deferred-raster batch (points + aug decisions, loader.py)."""
+    from complex_yolov4_tpu.data.loader import MAX_POINTS
+
+    rng = np.random.default_rng(seed)
+    pts = np.zeros((batch, MAX_POINTS, 4), np.float32)
+    msk = np.zeros((batch, MAX_POINTS), np.float32)
+    n = 4096
+    pts[:, :n, 0] = rng.uniform(0, 50, (batch, n))
+    pts[:, :n, 1] = rng.uniform(-25, 25, (batch, n))
+    pts[:, :n, 2] = rng.uniform(0, 4, (batch, n))
+    pts[:, :n, 3] = rng.uniform(0, 1, (batch, n))
+    msk[:, :n] = 1.0
+    targets = np.zeros((batch, 8, 7), np.float32)
+    tmask = np.zeros((batch, 8), np.float32)
+    targets[:, 0] = [0, 0.5, 0.5, 0.1, 0.2, 0.0, 1.0]
+    tmask[:, 0] = 1
+    return {
+        "points": pts, "point_mask": msk,
+        "flip": np.arange(batch).astype(np.float32) % 2,
+        "holes": np.tile(np.array([10, 60, 30, 90, 0.25], np.float32),
+                         (batch, max_holes, 1)),
+        "hole_mask": np.ones((batch, max_holes), np.float32),
+        "targets": targets, "target_mask": tmask,
+    }
+
+
+def test_train_step_device_raster_matches_host():
+    """The device-raster step (points in, BEV built inside the jit) must equal
+    the host-raster step run on the images it would build — same loss, same
+    updated params — and serve multiple multiscale sizes via the static arg."""
+    from complex_yolov4_tpu.data import bev as bev_mod
+
+    spec = get_model_spec("complex_yolov4_tiny", width=64, height=64)
+    params, bn_state = net.init_params(spec, jax.random.PRNGKey(0))
+    tx = T.create_optimizer(params, optimizer_type="sgd")
+    mk_state = lambda: T.TrainState.create(
+        jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, bn_state), tx)
+    step_host = T.make_train_step(spec, tx, compute_dtype=jnp.float32)
+    step_dev = T.make_train_step(spec, tx, compute_dtype=jnp.float32,
+                                 device_raster=True)
+
+    dbatch = _deferred_batch()
+    images = np.asarray(bev_mod.images_from_deferred_batch(dbatch, 64))
+    hbatch = {"image": images, "targets": dbatch["targets"],
+              "target_mask": dbatch["target_mask"]}
+
+    s_h, m_h = step_host(mk_state(), hbatch, jnp.float32(1e-3))
+    s_d, m_d = step_dev(mk_state(), dbatch, jnp.float32(1e-3), 64)
+    assert float(m_h["loss"]) == pytest.approx(float(m_d["loss"]), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(jax.tree.leaves(s_h.params)[0]),
+                               np.asarray(jax.tree.leaves(s_d.params)[0]),
+                               atol=1e-6)
+    # second multiscale size through the same step (static arg recompile)
+    s_d, m_d = step_dev(s_d, dbatch, jnp.float32(1e-3), 96)
+    assert np.isfinite(float(m_d["loss"]))
+
+    # the CLI's warmup batches must match the loader's deferred signature
+    from complex_yolov4_tpu.cli.common import dummy_train_batch
+
+    dummy = dummy_train_batch(2, 96, device_raster=True, max_holes=1)
+    assert (jax.tree_util.tree_structure(dummy)
+            == jax.tree_util.tree_structure(
+                {k: jnp.asarray(v) for k, v in dbatch.items()}))
+    s_d, m_d = step_dev(s_d, dummy, jnp.float32(0.0), 96)
+    assert np.isfinite(float(m_d["loss"]))
+
+
+def test_train_step_device_raster_on_mesh():
+    """Deferred batches shard over the data mesh like image batches do."""
+    mesh = make_mesh()
+    spec = get_model_spec("complex_yolov4_tiny", width=64, height=64)
+    params, bn_state = net.init_params(spec, jax.random.PRNGKey(0))
+    tx = T.create_optimizer(params, optimizer_type="sgd")
+    state = replicate_tree(mesh, T.TrainState.create(params, bn_state, tx))
+    step = T.make_train_step(spec, tx, compute_dtype=jnp.float32, mesh=mesh,
+                             device_raster=True)
+    batch = shard_batch(mesh, _deferred_batch(batch=8))
+    state, metrics = step(state, batch, jnp.float32(1e-3), 64)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_gradient_accumulation_semantics():
     """With subdivisions=k, params change only every k micro-steps."""
     _, state, step, batch = _tiny_setup(subdivisions=2)
