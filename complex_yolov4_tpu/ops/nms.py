@@ -71,6 +71,30 @@ def _topk_hierarchical(score: jnp.ndarray, k: int, group: int = 16):
     return v, cidx[i]
 
 
+def _gather_rows_mxu(mat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows of (N, C) `mat` at `idx` via one-hot MXU contraction.
+
+    XLA lowers a k-row dynamic gather from a large array to a serial
+    dynamic-slice loop on TPU — measured ~0.9 ms PER GATHER of 128 rows at
+    batch 16 (scripts/bench_cand_gather.py), which made row gathering the
+    single biggest NMS cost (3.7 of 4.8 ms). A (k, N) one-hot matmul does
+    the same selection on the MXU in ~0.05 ms. Values ride the bf16 MXU in
+    three exact-residual parts (v0 + v1 + v2 == v to ~2^-24 relative, i.e.
+    ~4e-5 absolute on 608-scale coordinates — far below detection noise and
+    the oracle-test tolerances), accumulated in f32.
+    """
+    n = mat.shape[0]
+    sel = (idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :]
+           ).astype(jnp.bfloat16)
+    v0 = mat.astype(jnp.bfloat16)
+    r1 = mat - v0.astype(jnp.float32)
+    v1 = r1.astype(jnp.bfloat16)
+    v2 = (r1 - v1.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jnp.dot(sel, v0, preferred_element_type=jnp.float32)
+    out = out + jnp.dot(sel, v1, preferred_element_type=jnp.float32)
+    return out + jnp.dot(sel, v2, preferred_element_type=jnp.float32)
+
+
 def _candidates(decoded: jnp.ndarray, conf_thresh: float, k: int):
     """Top-k score-ordered candidates for one image."""
     conf = decoded[:, 6]
@@ -81,11 +105,10 @@ def _candidates(decoded: jnp.ndarray, conf_thresh: float, k: int):
     score = jnp.where(valid, conf * cls_conf, _NEG)
     top_score, top_idx = _topk_hierarchical(score, k)
     cand_valid = top_score > _NEG / 2
-    boxes6 = decoded[top_idx, :6]
-    cand = jnp.concatenate(
-        [boxes6, conf[top_idx, None], cls_conf[top_idx, None], cls_id[top_idx, None]],
-        axis=-1,
-    )  # (k, 9)
+    cols = jnp.concatenate(
+        [decoded[:, :6], conf[:, None], cls_conf[:, None], cls_id[:, None]],
+        axis=-1)  # (N, 9)
+    cand = _gather_rows_mxu(cols, top_idx)  # (k, 9)
     return cand, cand_valid
 
 
