@@ -43,13 +43,29 @@ def main() -> None:
     # Static point capacity: KITTI front-boundary crops peak around 20k
     # points; scatter cost scales with capacity, so don't over-pad.
     max_pts = int(os.environ.get("BENCH_MAX_POINTS", "20480"))
-    rng = np.random.default_rng(0)
+    # Layout: "flat" (default) packs the batch's clouds into ONE buffer sized
+    # for the batch TOTAL (mean + headroom, 14336/frame) instead of
+    # batch x max-frame — ~1.4x fewer scatter lanes, the only raster lever
+    # (scatter is ~10 ns/update regardless of content, PERF.md).
+    # BENCH_RASTER_LAYOUT=padded for the per-frame padded layout.
+    flat_layout = os.environ.get("BENCH_RASTER_LAYOUT", "flat") == "flat"
+    flat_cap = int(os.environ.get("BENCH_FLAT_CAP", str(batch * 14336)))
+    clouds = []
     pts_batch = np.zeros((batch, max_pts, 4), np.float32)
     msk_batch = np.zeros((batch, max_pts), np.float32)
     for b in range(batch):
         pts, _, _ = synthetic.sample_scene(np.random.default_rng(b))
         cropped = bev_mod.remove_points_outside(pts)
+        clouds.append(cropped)
         pts_batch[b], msk_batch[b] = bev_mod.pad_points(cropped, max_pts)
+    if flat_layout:
+        total_live = sum(c.shape[0] for c in clouds)
+        if total_live > flat_cap:
+            print(f"flat raster: capacity {flat_cap} truncates "
+                  f"{total_live - flat_cap} of {total_live} points",
+                  file=sys.stderr)
+        pts_flat, fid_flat, msk_flat = bev_mod.pack_points_flat(
+            clouds, flat_cap)
 
     raster_packed = os.environ.get("BENCH_RASTER", "packed") == "packed"
     s2d_variant = os.environ.get("BENCH_S2D", "") or None
@@ -95,25 +111,38 @@ def main() -> None:
                   "benchmarking bf16", file=sys.stderr)
             quant = None
 
-    @jax.jit
-    def pipeline(params, quant, points, mask):
-        images = bev_mod.make_bev_map_jax(points, mask, packed=raster_packed)
-        decoded, _ = net.apply(fspec, params, {}, images,
-                               compute_dtype=jnp.bfloat16,
-                               s2d_early=s2d_variant, quant=quant)
-        return nms_batch(decoded, 0.5, 0.5, nms_k)
+    if flat_layout:
+        @jax.jit
+        def pipeline(params, quant, points, fid, mask):
+            images = bev_mod.make_bev_map_jax_flat(
+                points, fid, mask, batch, packed=raster_packed)
+            decoded, _ = net.apply(fspec, params, {}, images,
+                                   compute_dtype=jnp.bfloat16,
+                                   s2d_early=s2d_variant, quant=quant)
+            return nms_batch(decoded, 0.5, 0.5, nms_k)
 
-    points = jnp.asarray(pts_batch)
-    mask = jnp.asarray(msk_batch)
+        args = (jnp.asarray(pts_flat), jnp.asarray(fid_flat),
+                jnp.asarray(msk_flat))
+    else:
+        @jax.jit
+        def pipeline(params, quant, points, mask):
+            images = bev_mod.make_bev_map_jax(points, mask,
+                                              packed=raster_packed)
+            decoded, _ = net.apply(fspec, params, {}, images,
+                                   compute_dtype=jnp.bfloat16,
+                                   s2d_early=s2d_variant, quant=quant)
+            return nms_batch(decoded, 0.5, 0.5, nms_k)
+
+        args = (jnp.asarray(pts_batch), jnp.asarray(msk_batch))
     fparams = jax.device_put(fparams)
 
     for _ in range(warmup):
-        dets, masks = pipeline(fparams, quant, points, mask)
+        dets, masks = pipeline(fparams, quant, *args)
     jax.block_until_ready((dets, masks))
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        dets, masks = pipeline(fparams, quant, points, mask)
+        dets, masks = pipeline(fparams, quant, *args)
     jax.block_until_ready((dets, masks))
     dt = time.perf_counter() - t0
 

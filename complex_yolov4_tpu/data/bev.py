@@ -156,28 +156,80 @@ def make_bev_map_jax(points: jnp.ndarray, mask: jnp.ndarray,
     return out.reshape(points.shape[:-2] + out.shape[-3:])
 
 
+@partial(jax.jit, static_argnames=("batch", "bev_size", "packed"))
+def make_bev_map_jax_flat(points: jnp.ndarray, frame_id: jnp.ndarray,
+                          mask: jnp.ndarray, batch: int,
+                          bev_size: int = cnf.BEV_HEIGHT, *,
+                          packed: bool = True) -> jnp.ndarray:
+    """Flat-packed device rasterizer: (P, 4) points + (P,) frame ids +
+    (P,) mask -> (batch, S, S, 3).
+
+    Same output as `make_bev_map_jax` on the equivalent padded layout, but
+    the batch shares ONE point buffer packed by `pack_points_flat`, so the
+    scatter pays for the batch's TOTAL live points (~13k/frame average)
+    instead of batch x per-frame worst case (20480) — scatter cost is
+    ~10 ns/update regardless of content (PERF.md), so fewer lanes is the
+    only raster lever. Serving configs size `capacity` to their workload's
+    mean + headroom rather than the max frame.
+    """
+    return _bev_from_cells(points, frame_id, mask > 0.5, batch, bev_size,
+                           packed)
+
+
+def pack_points_flat(point_arrays, capacity: int):
+    """Host packer for `make_bev_map_jax_flat`: per-frame cropped/z-shifted
+    clouds -> (points (capacity, 4), frame_id (capacity,), mask (capacity,)).
+
+    Frames are laid out contiguously; if the batch's total live points exceed
+    `capacity` the tail frames truncate (same policy as `pad_points`, applied
+    globally — size capacity generously for the workload's batch total)."""
+    points = np.zeros((capacity, 4), np.float32)
+    frame_id = np.zeros((capacity,), np.int32)
+    mask = np.zeros((capacity,), np.float32)
+    at = 0
+    for fid, pts in enumerate(point_arrays):
+        n = min(pts.shape[0], capacity - at)
+        points[at:at + n] = pts[:n]
+        frame_id[at:at + n] = fid
+        mask[at:at + n] = 1.0
+        at += n
+        if at >= capacity:
+            break
+    return points, frame_id, mask
+
+
 def _bev_flat(points: jnp.ndarray, mask: jnp.ndarray, bev_size: int,
               packed: bool = False) -> jnp.ndarray:
     b = points.shape[0]
+    grid = bev_size + 1
+    live = mask > 0.5  # (B, N)
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, live.shape, 0)
+    return _bev_from_cells(points.reshape(-1, points.shape[-1]),
+                           b_idx.ravel(), live.ravel(), b, bev_size, packed)
+
+
+def _bev_from_cells(points: jnp.ndarray, frame_id: jnp.ndarray,
+                    live: jnp.ndarray, b: int, bev_size: int,
+                    packed: bool = False) -> jnp.ndarray:
+    """Scatter core shared by the padded-per-frame and flat-packed layouts:
+    flat (P, 4) points + (P,) frame ids + (P,) liveness -> (b, S, S, 3)."""
     grid = bev_size + 1
     disc = (cnf.BOUNDARY["maxX"] - cnf.BOUNDARY["minX"]) / bev_size
     max_height = jnp.float32(cnf.MAX_HEIGHT)
     n_cells = b * grid * grid
 
-    live = mask > 0.5  # (B, N)
-    ix = jnp.clip(jnp.floor(points[..., 0] / disc).astype(jnp.int32), 0, grid - 1)
-    iy = jnp.clip((jnp.floor(points[..., 1] / disc) + grid / 2).astype(jnp.int32),
+    ix = jnp.clip(jnp.floor(points[:, 0] / disc).astype(jnp.int32), 0, grid - 1)
+    iy = jnp.clip((jnp.floor(points[:, 1] / disc) + grid / 2).astype(jnp.int32),
                   0, grid - 1)
-    b_idx = jax.lax.broadcasted_iota(jnp.int32, live.shape, 0)
     # Dead points route to a dump slot past every frame's grid.
-    cells = jnp.where(live, (b_idx * grid + ix) * grid + iy, n_cells).ravel()
+    cells = jnp.where(live, (frame_id * grid + ix) * grid + iy, n_cells)
 
-    z = jnp.where(live, points[..., 2], -1.0).ravel()
-    r = jnp.where(live, points[..., 3], 0.0).ravel()
-    live_f = live.ravel()
+    z = jnp.where(live, points[:, 2], -1.0)
+    r = jnp.where(live, points[:, 3], 0.0)
+    live_f = live
 
     counts = jnp.zeros((n_cells + 1,), jnp.float32).at[cells].add(
-        mask.ravel(), mode="drop")
+        live.astype(jnp.float32), mode="drop")
 
     if packed:
         # One scatter-max of (z | intensity) packed into int32 — see

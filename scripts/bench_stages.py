@@ -63,15 +63,15 @@ def main() -> None:
     fparams = net.fold_batchnorm(spec, params, state)
     fspec = net.fold_spec(spec)
 
-    max_pts = 20480
-    pts_batch = np.zeros((batch, max_pts, 4), np.float32)
-    msk_batch = np.zeros((batch, max_pts), np.float32)
-    for b in range(batch):
-        pts, _, _ = synthetic.sample_scene(np.random.default_rng(b))
-        cropped = bev_mod.remove_points_outside(pts)
-        pts_batch[b], msk_batch[b] = bev_mod.pad_points(cropped, max_pts)
-    points = jnp.asarray(pts_batch)
-    mask = jnp.asarray(msk_batch)
+    # flat-packed layout (bench default): one shared buffer + frame ids
+    flat_cap = batch * 14336
+    clouds = [bev_mod.remove_points_outside(
+        synthetic.sample_scene(np.random.default_rng(b))[0])
+        for b in range(batch)]
+    pf, ff, mf = bev_mod.pack_points_flat(clouds, flat_cap)
+    points = jnp.asarray(pf)
+    fid = jnp.asarray(ff)
+    mask = jnp.asarray(mf)
 
     quant = None
     if args.quant == "int8":
@@ -86,27 +86,27 @@ def main() -> None:
     fparams = jax.device_put(fparams)
 
     @jax.jit
-    def raster_only(points, mask):
-        return jnp.sum(bev_mod.make_bev_map_jax(points, mask),
+    def raster_only(points, fid, mask):
+        return jnp.sum(bev_mod.make_bev_map_jax_flat(points, fid, mask, batch),
                        axis=(1, 2, 3))  # reduce so nothing is elided
 
     @jax.jit
-    def raster_fwd(params, quant, points, mask):
-        images = bev_mod.make_bev_map_jax(points, mask)
+    def raster_fwd(params, quant, points, fid, mask):
+        images = bev_mod.make_bev_map_jax_flat(points, fid, mask, batch)
         decoded, _ = net.apply(fspec, params, {}, images,
                                compute_dtype=jnp.bfloat16, quant=quant)
         return jnp.sum(decoded, axis=(1, 2))
 
     @jax.jit
-    def full(params, quant, points, mask):
-        images = bev_mod.make_bev_map_jax(points, mask)
+    def full(params, quant, points, fid, mask):
+        images = bev_mod.make_bev_map_jax_flat(points, fid, mask, batch)
         decoded, _ = net.apply(fspec, params, {}, images,
                                compute_dtype=jnp.bfloat16, quant=quant)
         return nms_batch(decoded, 0.5, 0.5, args.nms_k)
 
-    t_r = timed(raster_only, (points, mask), args.iters)
-    t_rf = timed(raster_fwd, (fparams, quant, points, mask), args.iters)
-    t_all = timed(full, (fparams, quant, points, mask), args.iters)
+    t_r = timed(raster_only, (points, fid, mask), args.iters)
+    t_rf = timed(raster_fwd, (fparams, quant, points, fid, mask), args.iters)
+    t_all = timed(full, (fparams, quant, points, fid, mask), args.iters)
 
     print(f"config: quant={args.quant} nms_k={args.nms_k} batch={batch}")
     print(f"raster-only:        {t_r * 1e3:7.2f} ms/batch")

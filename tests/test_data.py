@@ -138,6 +138,31 @@ def test_bev_jax_batched(scene):
     np.testing.assert_allclose(out[0], out[1], atol=0)
 
 
+def test_bev_jax_flat_matches_padded(scene):
+    """The flat-packed layout (one shared buffer + frame ids, bench default)
+    must equal the per-frame padded layout exactly — same scatter algorithm,
+    different lane packing."""
+    points, _, _ = scene
+    rng = np.random.default_rng(5)
+    clouds = []
+    for b in range(3):
+        sub = points[rng.uniform(size=points.shape[0]) < 0.6]
+        clouds.append(bev.remove_points_outside(sub))
+    padded = np.zeros((3, 20480, 4), np.float32)
+    masks = np.zeros((3, 20480), np.float32)
+    for b, c in enumerate(clouds):
+        padded[b], masks[b] = bev.pad_points(c, 20480)
+    want = np.asarray(bev.make_bev_map_jax(padded, masks))
+    pf, ff, mf = bev.pack_points_flat(clouds, 3 * 20480)
+    got = np.asarray(bev.make_bev_map_jax_flat(pf, ff, mf, 3))
+    np.testing.assert_array_equal(got, want)
+    # truncating capacity drops tail-frame points but stays well-formed
+    pf, ff, mf = bev.pack_points_flat(clouds, clouds[0].shape[0] + 100)
+    got = np.asarray(bev.make_bev_map_jax_flat(pf, ff, mf, 3))
+    np.testing.assert_array_equal(got[0], want[0])
+    assert got[2].max() == 0.0
+
+
 def test_build_targets_encoding(scene):
     _, boxes, classes = scene
     labels = np.concatenate([classes[:, None].astype(np.float64), boxes], axis=1)
