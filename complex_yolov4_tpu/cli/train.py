@@ -150,6 +150,7 @@ def main(argv=None) -> None:
         progress = ProgressMeter(len(loader), [batch_time, loss_meter],
                                  prefix=f"Epoch [{epoch}/{configs.num_epochs}]")
         t0 = time.time()
+        pending = []  # (batch_count, device loss scalar) not yet pulled
         prefetch_keys = (("points", "point_mask", "flip", "holes", "hole_mask",
                           "targets", "target_mask") if device_raster
                          else ("image", "targets", "target_mask"))
@@ -172,18 +173,36 @@ def main(argv=None) -> None:
                 jax.profiler.stop_trace()
                 profiler_active = False
                 logger.info("profiler trace written to %s", configs.logs_dir)
-            loss = float(metrics["loss"])
-            loss_meter.update(loss, device_batch["targets"].shape[0])
+            # Defer the scalar read: float(loss) every step costs a ~50 ms
+            # tunnel round trip AND stalls the dispatch pipeline (measured
+            # ~250 ms/step vs the 104 ms device step). Losses stay on device
+            # and are pulled in one transfer per print/tensorboard window.
+            pending.append((device_batch["targets"].shape[0], metrics["loss"]))
             batch_time.update(time.time() - t0)
             t0 = time.time()
-            if is_lead and b_idx % configs.print_freq == 0:
+            want_print = is_lead and b_idx % configs.print_freq == 0
+            want_tb = (tb_writer is not None
+                       and global_iter % configs.tensorboard_freq == 0)
+            if want_print or want_tb:
+                vals = jax.device_get([v for _, v in pending])
+                for (n_, _), v in zip(pending, vals):
+                    loss_meter.update(float(v), n_)
+                pending.clear()
+                loss = float(vals[-1])
+            if want_print:
                 logger.info(progress.get_message(b_idx))
-            if tb_writer is not None and global_iter % configs.tensorboard_freq == 0:
+            if want_tb:
                 tb_writer.add_scalar("train/lr", lr, global_iter)
                 tb_writer.add_scalar("train/loss", loss, global_iter)
                 for k, v in metrics.items():
                     if k.startswith("head"):
                         tb_writer.add_scalar(f"train/{k}", float(v), global_iter)
+
+        if pending:  # drain the tail of the epoch's deferred loss reads
+            vals = jax.device_get([v for _, v in pending])
+            for (n_, _), v in zip(pending, vals):
+                loss_meter.update(float(v), n_)
+            pending.clear()
 
         if val_loader is not None and is_lead:
             out = evaluate_map(infer_fn, state.params, state.bn_state,
@@ -195,9 +214,13 @@ def main(argv=None) -> None:
 
         if is_lead and (epoch % configs.checkpoint_freq == 0
                         or epoch == configs.num_epochs):
-            path = T.save_checkpoint(configs.checkpoints_dir, state, epoch)
-            logger.info("saved checkpoint %s", path)
+            # Async: the full-state D2H through the tunnel costs minutes;
+            # snapshot on device and write from a background thread.
+            T.save_checkpoint_async(configs.checkpoints_dir, state, epoch)
+            logger.info("checkpoint save for epoch %d started (async, %s)",
+                        epoch, configs.checkpoints_dir)
 
+    T.wait_for_async_save()
     if tb_writer is not None:
         tb_writer.close()
     logger.info("training done: %d epochs, %d iterations",

@@ -5,6 +5,8 @@ from .checkpoint import (
     restore_checkpoint,
     restore_params_only,
     save_checkpoint,
+    save_checkpoint_async,
+    wait_for_async_save,
 )
 from .optimizer import create_optimizer, set_learning_rate, weight_decay_mask
 from .schedules import cosine_factor, make_lr_fn, multi_step_factor
@@ -22,6 +24,8 @@ __all__ = [
     "restore_checkpoint",
     "restore_params_only",
     "save_checkpoint",
+    "save_checkpoint_async",
     "set_learning_rate",
+    "wait_for_async_save",
     "weight_decay_mask",
 ]

@@ -235,6 +235,27 @@ def test_checkpoint_roundtrip(tmp_path):
     assert set(params_only.keys()) == set(state.params.keys())
 
 
+def test_checkpoint_async_save_survives_donation(tmp_path):
+    """Async save snapshots the state; the train step afterwards donates and
+    invalidates the live buffers — the written checkpoint must hold the
+    values from save time, not crash or capture the later state."""
+    _, state, step, batch = _tiny_setup()
+    state, _ = step(state, batch, jnp.float32(1e-3))
+    want = [np.asarray(x) for x in jax.tree.leaves(state.params)]
+
+    T.save_checkpoint_async(str(tmp_path), state, epoch=7)
+    state, _ = step(state, batch, jnp.float32(1e-3))  # donates old buffers
+    T.wait_for_async_save()
+
+    assert T.latest_epoch(str(tmp_path)) == 7
+    _, template, _, _ = _tiny_setup()
+    restored, epoch, _ = T.restore_checkpoint(
+        str(tmp_path) + "/epoch_7", template)
+    assert epoch == 7
+    for a, b in zip(want, jax.tree.leaves(restored.params)):
+        np.testing.assert_allclose(a, np.asarray(b))
+
+
 def test_remat_step_matches_plain():
     spec = get_model_spec("complex_yolov4_tiny", width=64, height=64)
     params, bn_state = net.init_params(spec, jax.random.PRNGKey(0))
