@@ -84,6 +84,39 @@ def init_params(spec: NetSpec, rng: jax.Array, dtype=jnp.float32) -> Tuple[Param
     return params, state
 
 
+class _PartsConcat(tuple):
+    """Deferred route-concat: the parts of a channel concat whose sole
+    consumer is the next 1x1 conv. conv(concat(parts), w) is computed as
+    sum_j conv(part_j, w_j) with w sliced along C_in — exact, and it deletes
+    the concat's HBM write + read (the concats in yolov4's CSP transitions /
+    SPP / PAN are 64-2048 channels at 19^2-304^2; reference materializes all
+    of them, darknet2pytorch.py:200-215)."""
+
+    __slots__ = ()
+
+
+def _split_conv(parts, w: jnp.ndarray, stride: int, pad: int,
+                compute_dtype) -> jnp.ndarray:
+    """1x1 conv over a deferred concat: weight-sliced conv per part, summed
+    in f32 before the compute-dtype cast (same rounding profile as the
+    single conv's f32 MXU accumulator)."""
+    off = 0
+    acc = None
+    for part in parts:
+        c = part.shape[-1]
+        y = jax.lax.conv_general_dilated(
+            part.astype(compute_dtype),
+            w[:, :, off:off + c, :].astype(compute_dtype),
+            window_strides=(stride, stride),
+            padding=[(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        acc = y if acc is None else acc + y
+        off += c
+    return acc.astype(compute_dtype)
+
+
 def _conv(x: jnp.ndarray, w: jnp.ndarray, stride: int, pad: int,
           compute_dtype) -> jnp.ndarray:
     # Output in compute dtype: the MXU accumulates f32 internally either way,
@@ -165,6 +198,7 @@ def apply(
     s2d_early: Optional[str] = None,
     quant: Optional[Dict[str, Any]] = None,
     capture_act_max: bool = False,
+    defer_route_concat: bool = True,
 ):
     """Run the network.
 
@@ -232,6 +266,20 @@ def apply(
         from . import quantize as _qz
         chain = _qz.chain_set(spec, quant.keys())
     chans = (spec.in_channels,) + spec.out_channels()
+
+    # Multi-input routes whose sole consumer is the following 1x1 conv never
+    # materialize: the conv runs weight-sliced over the parts (_PartsConcat).
+    # Inference only; covers every CSP-transition / SPP / PAN concat.
+    defer_routes: set = set()
+    if not train and defer_route_concat:
+        for r, lyr in enumerate(spec.layers[:-1]):
+            if (isinstance(lyr, RouteSpec) and len(lyr.layers) > 1
+                    and isinstance(spec.layers[r + 1], ConvSpec)
+                    and spec.layers[r + 1].size == 1
+                    and last_use[r] == r + 1
+                    and (seg is None or not (seg[0] <= r + 1 <= seg[1]))
+                    and (r + 1) not in fused_by_start):
+                defer_routes.add(r)
 
     def folded_wb(i: int, layer: ConvSpec):
         p = params[f"layer{i}"]
@@ -309,7 +357,12 @@ def apply(
             p = params.get(f"layer{i}")
             pad = (layer.size - 1) // 2 if layer.pad else 0
             if capture_act_max:
-                if h.dtype == jnp.int8:  # chained input: max in the dequant domain
+                if isinstance(h, _PartsConcat):
+                    act_max[f"layer{i}"] = functools.reduce(
+                        jnp.maximum,
+                        [jnp.max(jnp.abs(part.astype(jnp.float32)))
+                         for part in h])
+                elif h.dtype == jnp.int8:  # chained input: max in the dequant domain
                     act_max[f"layer{i}"] = (
                         jnp.max(jnp.abs(h.astype(jnp.float32)))
                         * quant[f"layer{i}"]["s_x"])
@@ -317,18 +370,37 @@ def apply(
                     act_max[f"layer{i}"] = jnp.max(jnp.abs(h.astype(jnp.float32)))
             if quant is not None and not train and f"layer{i}" in quant:
                 q = quant[f"layer{i}"]
-                if h.dtype == jnp.int8:  # producer already requantized for us
-                    x_q = h
+                if isinstance(h, _PartsConcat):
+                    # weight-sliced int8 convs over the deferred concat parts,
+                    # summed in the int32 accumulator domain (exact)
+                    y = None
+                    off = 0
+                    for part in h:  # parts are never chained-int8 (chain_set
+                        c = part.shape[-1]  # links conv->conv only)
+                        pq = jnp.clip(
+                            jnp.round(part.astype(jnp.float32) * (1.0 / q["s_x"])),
+                            -127.0, 127.0).astype(jnp.int8)
+                        yp = jax.lax.conv_general_dilated(
+                            pq, q["w_i8"][:, :, off:off + c, :],
+                            window_strides=(layer.stride, layer.stride),
+                            padding=[(pad, pad), (pad, pad)],
+                            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                            preferred_element_type=jnp.int32)
+                        y = yp if y is None else y + yp
+                        off += c
                 else:
-                    x_q = jnp.clip(
-                        jnp.round(h.astype(jnp.float32) * (1.0 / q["s_x"])),
-                        -127.0, 127.0).astype(jnp.int8)
-                y = jax.lax.conv_general_dilated(
-                    x_q, q["w_i8"],
-                    window_strides=(layer.stride, layer.stride),
-                    padding=[(pad, pad), (pad, pad)],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.int32)
+                    if h.dtype == jnp.int8:  # producer already requantized for us
+                        x_q = h
+                    else:
+                        x_q = jnp.clip(
+                            jnp.round(h.astype(jnp.float32) * (1.0 / q["s_x"])),
+                            -127.0, 127.0).astype(jnp.int8)
+                    y = jax.lax.conv_general_dilated(
+                        x_q, q["w_i8"],
+                        window_strides=(layer.stride, layer.stride),
+                        padding=[(pad, pad), (pad, pad)],
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        preferred_element_type=jnp.int32)
                 h = y.astype(jnp.float32) * (q["s_x"] * q["w_scale"]) + q["b"]
                 h = _act(h, layer.activation)
                 if i in chain:  # requantize in-epilogue to the consumer's domain
@@ -371,7 +443,10 @@ def apply(
                     if outputs[j] is not None and last_use[j] <= i:
                         outputs[j] = None
                 continue
-            h = _conv(h, p["w"], layer.stride, pad, compute_dtype)
+            if isinstance(h, _PartsConcat):
+                h = _split_conv(h, p["w"], layer.stride, pad, compute_dtype)
+            else:
+                h = _conv(h, p["w"], layer.stride, pad, compute_dtype)
             # Inference epilogue runs in compute dtype (the f32 MXU
             # accumulator is cast right after the conv) — halves HBM traffic
             # for every activation tensor. Training keeps the f32 epilogue so
@@ -411,6 +486,8 @@ def apply(
                     h = src[..., layer.group_id * c : (layer.group_id + 1) * c]
                 else:
                     h = src
+            elif i in defer_routes:
+                h = _PartsConcat(outputs[j] for j in layer.layers)
             else:
                 h = jnp.concatenate([outputs[j] for j in layer.layers], axis=-1)
         elif isinstance(layer, ShortcutSpec):

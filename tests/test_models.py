@@ -147,6 +147,45 @@ def test_s2d_plan_at_native_resolution():
     assert plan is None or plan[0] == 1
 
 
+def test_deferred_route_concat_matches_materialized():
+    """Route-concat elimination (network._PartsConcat): every multi-route
+    whose sole consumer is the next 1x1 conv runs as weight-sliced convs —
+    decoded outputs must match the materialized-concat path, on both the
+    f32 path and the int8 quant path (int32 part sums are exact)."""
+    import numpy as np
+    from complex_yolov4_tpu.models import quantize as qz
+    from complex_yolov4_tpu.models.network import _PartsConcat  # noqa: F401
+
+    for name, size in (("complex_yolov4", 96), ("complex_yolov4_tiny", 128)):
+        spec = get_model_spec(name)
+        params, state = net.init_params(spec, jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(2), (2, size, size, 3))
+        base, _ = jax.jit(lambda p, s, xx: net.apply(
+            spec, p, s, xx, compute_dtype=jnp.float32, use_pallas_conv=False,
+            defer_route_concat=False))(params, state, x)
+        got, _ = jax.jit(lambda p, s, xx: net.apply(
+            spec, p, s, xx, compute_dtype=jnp.float32,
+            use_pallas_conv=False))(params, state, x)
+        assert bool(jnp.allclose(base, got, atol=1e-4, rtol=1e-4)), name
+
+    # quant path: deferred split must be exact vs the materialized int8 conv
+    spec = get_model_spec("complex_yolov4")
+    fspec = net.fold_spec(spec)
+    params, state = net.init_params(spec, jax.random.PRNGKey(0))
+    fparams = net.fold_batchnorm(spec, params, state)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, 96, 96, 3))
+    quant = qz.quantize_model(fspec, fparams, [np.asarray(x)],
+                              compute_dtype=jnp.float32)
+    base, _ = jax.jit(lambda p, q, xx: net.apply(
+        fspec, p, {}, xx, compute_dtype=jnp.float32, use_pallas_conv=False,
+        quant=q, defer_route_concat=False))(fparams, quant, x)
+    got, _ = jax.jit(lambda p, q, xx: net.apply(
+        fspec, p, {}, xx, compute_dtype=jnp.float32, use_pallas_conv=False,
+        quant=q))(fparams, quant, x)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(got),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_int8_quantized_forward():
     """PTQ mechanics (models/quantize.py): per-channel weight quantization is
     within half a step, skipped layers fall back to the standard path, and
