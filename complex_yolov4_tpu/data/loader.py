@@ -187,8 +187,14 @@ class BatchIterator:
             if targets is not None:
                 tgts.append(targets)
                 masks.append(mask)
+        # One-pass assembly: writing each frame into the preallocated f32
+        # batch converts dtype in the same copy (np.stack(...).astype(f32)
+        # was two full passes over ~35 MB per batch).
+        image = np.empty((len(imgs),) + imgs[0].shape, np.float32)
+        for j, img in enumerate(imgs):
+            image[j] = img
         batch = {
-            "image": np.stack(imgs).astype(np.float32),
+            "image": image,
             "sample_ids": np.asarray(ids, np.int64),
         }
         if tgts:

@@ -139,8 +139,9 @@ class RandomRotation:
     def __call__(self, rng, lidar: np.ndarray, labels: np.ndarray):
         if rng.random() <= self.p:
             angle = rng.uniform(-self.limit, self.limit)
+            rotated_xy = rotate_z(lidar[:, :2], angle)
             lidar = lidar.copy()
-            lidar[:, :3] = np.hstack([rotate_z(lidar[:, :2], angle), lidar[:, 2:3]])
+            lidar[:, :2] = rotated_xy  # z unchanged (no hstack round trip)
             labels = lidar_box_rotate_z(labels, angle)
         return lidar, labels
 

@@ -151,28 +151,71 @@ struct Hole {
   float fill;
 };
 
-// Evaluate virtual canvas pixel (cy, cx) -> v[3].
-inline void canvas_value(int cy, int cx, int yc, int xc, const Window* win,
-                         Cell* const* grids, const uint32_t* stamps,
-                         const uint8_t* flips, const Hole* holes,
-                         const int32_t* hole_off, float* v) {
-  const int q = (cy < yc) ? ((cx < xc) ? 0 : 1) : ((cx < xc) ? 2 : 3);
-  const Window& w = win[q];
-  if (cy < w.y1a || cy >= w.y2a || cx < w.x1a || cx >= w.x2a) {
-    v[0] = v[1] = v[2] = 0.5f;  // canvas padding (np.full(..., 0.5))
-    return;
+inline void fill_row(float* row, int cx0, int cx1, float v) {
+  for (int cx = cx0; cx < cx1; ++cx) {
+    row[cx * 3 + 0] = v;
+    row[cx * 3 + 1] = v;
+    row[cx * 3 + 2] = v;
   }
-  const int py = cy - w.y1a + w.y1b;          // sub-image row (= grid ix)
-  const int px = cx - w.x1a + w.x1b;          // sub-image col after aug
-  for (int h = hole_off[q]; h < hole_off[q + 1]; ++h) {
-    const Hole& hole = holes[h];
-    if (py >= hole.y1 && py < hole.y2 && px >= hole.x1 && px < hole.x2) {
-      v[0] = v[1] = v[2] = hole.fill;
-      return;
+}
+
+// Evaluate one virtual canvas row `cy` into row[(2*kBev)*3]. Equivalent to
+// the per-pixel evaluation (quadrant lookup, window test, first-matching
+// hole, flip mirror, cell read) but run-based: padding and holes become
+// constant fills, and the visible window becomes one contiguous (or
+// reversed, when flipped) walk over a sub-frame grid row — the per-pixel
+// branching was ~60% of the whole mosaic cost.
+void canvas_row(int cy, int yc, int xc, const Window* win, Cell* const* grids,
+                const uint32_t* stamps, const uint8_t* flips,
+                const Hole* holes, const int32_t* hole_off, float* row) {
+  const int s2 = 2 * kBev;
+  const int qbase = (cy < yc) ? 0 : 2;
+  for (int side = 0; side < 2; ++side) {
+    const int q = qbase + side;
+    const Window& w = win[q];
+    const int cx0 = side ? xc : 0;
+    const int cx1 = side ? s2 : xc;
+    if (cy < w.y1a || cy >= w.y2a) {  // whole quadrant row is padding
+      fill_row(row, cx0, cx1, 0.5f);
+      continue;
+    }
+    const int py = cy - w.y1a + w.y1b;  // sub-image row (= grid ix)
+    fill_row(row, cx0, w.x1a, 0.5f);
+    fill_row(row, w.x2a, cx1, 0.5f);
+    // canvas cx -> sub-image px = cx - w.x1a + w.x1b (affine, pre-mirror;
+    // hole rectangles live in px space, the flip only mirrors the grid read)
+    const int px_off = w.x1b - w.x1a;
+    const Cell* grow = grids[q] + static_cast<size_t>(py) * kGrid;
+    const uint32_t stamp = stamps[q];
+    const bool flip = flips[q] != 0;
+    int cx = w.x1a;
+    while (cx < w.x2a) {
+      // Segment end: the next hole x-boundary (for holes covering this py)
+      // after cx. Within a segment the first-matching hole is constant.
+      int seg_end = w.x2a;
+      const Hole* active = nullptr;
+      const int px = cx + px_off;
+      for (int h = hole_off[q]; h < hole_off[q + 1]; ++h) {
+        const Hole& hole = holes[h];
+        if (py < hole.y1 || py >= hole.y2) continue;
+        if (active == nullptr && px >= hole.x1 && px < hole.x2) {
+          active = &hole;  // first matching hole wins (list order)
+        }
+        if (hole.x1 - px_off > cx) seg_end = std::min(seg_end, hole.x1 - px_off);
+        if (hole.x2 - px_off > cx) seg_end = std::min(seg_end, hole.x2 - px_off);
+      }
+      if (active != nullptr) {
+        fill_row(row, cx, seg_end, active->fill);
+      } else if (!flip) {
+        const Cell* c = grow + px;
+        for (int x = cx; x < seg_end; ++x, ++c) cell_value(*c, stamp, row + x * 3);
+      } else {
+        const Cell* c = grow + (kBev - 1 - px);
+        for (int x = cx; x < seg_end; ++x, --c) cell_value(*c, stamp, row + x * 3);
+      }
+      cx = seg_end;
     }
   }
-  const int gx = flips[q] ? (kBev - 1 - px) : px;  // un-flip to raster col
-  cell_value(grids[q][static_cast<size_t>(py) * kGrid + gx], stamps[q], v);
 }
 
 void mosaic(const float* points, const int64_t* npts, const uint8_t* flips,
@@ -217,24 +260,26 @@ void mosaic(const float* points, const int64_t* npts, const uint8_t* flips,
                 static_cast<int>(r[2]), static_cast<int>(r[3]), r[4]};
   }
 
+  // Two virtual canvas rows per output row, then cv2 INTER_LINEAR at exact
+  // 2:1: horizontal lerp (0.5/0.5) per row, then vertical lerp of the rows —
+  // the float expression (and so the bits) matches numpy+cv2.
+  std::vector<float> row_a(static_cast<size_t>(2 * kBev) * 3);
+  std::vector<float> row_b(static_cast<size_t>(2 * kBev) * 3);
   for (int oy = 0; oy < kBev; ++oy) {
+    canvas_row(2 * oy, yc, xc, win, grids, stamps, flips, holes.data(),
+               hole_off, row_a.data());
+    canvas_row(2 * oy + 1, yc, xc, win, grids, stamps, flips, holes.data(),
+               hole_off, row_b.data());
     float* row_out = out + static_cast<size_t>(oy) * kBev * 3;
     for (int ox = 0; ox < kBev; ++ox) {
-      float p00[3], p01[3], p10[3], p11[3];
-      canvas_value(2 * oy, 2 * ox, yc, xc, win, grids, stamps, flips,
-                   holes.data(), hole_off, p00);
-      canvas_value(2 * oy, 2 * ox + 1, yc, xc, win, grids, stamps, flips,
-                   holes.data(), hole_off, p01);
-      canvas_value(2 * oy + 1, 2 * ox, yc, xc, win, grids, stamps, flips,
-                   holes.data(), hole_off, p10);
-      canvas_value(2 * oy + 1, 2 * ox + 1, yc, xc, win, grids, stamps, flips,
-                   holes.data(), hole_off, p11);
+      const float* a0 = row_a.data() + (2 * ox) * 3;
+      const float* a1 = a0 + 3;
+      const float* b0 = row_b.data() + (2 * ox) * 3;
+      const float* b1 = b0 + 3;
       float* px = row_out + ox * 3;
       for (int c = 0; c < 3; ++c) {
-        // cv2 INTER_LINEAR at exact 2:1: horizontal lerp (0.5/0.5) per row,
-        // then vertical lerp of the two rows.
-        px[c] = (p00[c] * 0.5f + p01[c] * 0.5f) * 0.5f +
-                (p10[c] * 0.5f + p11[c] * 0.5f) * 0.5f;
+        px[c] = (a0[c] * 0.5f + a1[c] * 0.5f) * 0.5f +
+                (b0[c] * 0.5f + b1[c] * 0.5f) * 0.5f;
       }
     }
   }
