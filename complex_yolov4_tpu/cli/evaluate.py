@@ -27,9 +27,23 @@ def main(argv=None) -> None:
                                num_samples=configs.num_samples)
     spec, params, state, quant = common.maybe_quantize(
         spec, params, state, configs, loader)
+    # Multi-device hosts evaluate data-parallel: batch sharded over the mesh,
+    # weights replicated (single device degrades to the plain jit).
+    import jax
+
+    from ..parallel import make_mesh_for_batch
+
+    mesh = None
+    if jax.device_count() > 1:
+        mesh = make_mesh_for_batch(configs.batch_size)
+        if mesh.devices.size > 1:
+            print(f"eval data mesh: {mesh.devices.size} device(s)")
+        else:
+            mesh = None
     infer = make_inference_fn(
         spec, conf_thresh=configs.conf_thresh, nms_thresh=configs.nms_thresh,
-        compute_dtype=common.compute_dtype_of(configs), quant=quant)
+        compute_dtype=common.compute_dtype_of(configs), quant=quant,
+        mesh=mesh)
 
     out = evaluate_map(
         infer, params, state, loader, iou_threshold=configs.iou_thresh,

@@ -27,6 +27,7 @@ def make_inference_fn(
     max_boxes: int = 256,
     compute_dtype=jnp.float32,
     quant=None,
+    mesh=None,
 ) -> Callable:
     """Jitted (params, state, images) -> (detections, det_masks).
 
@@ -36,16 +37,45 @@ def make_inference_fn(
     quant: optional int8 tree (models/quantize.py). Passed to the jit as an
     argument, not a closure constant — large inlined literals blow up the
     remote compile.
+
+    mesh: optional data mesh (parallel.make_mesh) — batch sharded over the
+    `data` axis, params/state/quant replicated; the same program then serves
+    one chip or a whole slice (the DP inference equivalent of the sharded
+    train step). Batches that don't divide the mesh are zero-padded and the
+    pad rows sliced off after.
     """
 
-    @jax.jit
-    def infer_(params, state, quant, images):
+    def infer_impl(params, state, quant, images):
         decoded, _ = net.apply(spec, params, state, images, train=False,
                                compute_dtype=compute_dtype, quant=quant)
         return nms_batch(decoded, conf_thresh, nms_thresh, max_boxes)
 
+    if mesh is None:
+        infer_ = jax.jit(infer_impl)
+
+        def infer(params, state, images):
+            return infer_(params, state, quant, images)
+
+        return infer
+
+    from ..parallel import mesh as pmesh
+
+    repl = pmesh.replicated(mesh)
+    data = pmesh.data_sharding(mesh)
+    infer_ = jax.jit(infer_impl, in_shardings=(repl, repl, repl, data),
+                     out_shardings=(data, data))
+    n_dev = int(mesh.devices.size)
+
     def infer(params, state, images):
-        return infer_(params, state, quant, images)
+        b = images.shape[0]
+        pad = (-b) % n_dev
+        if pad:
+            images = jnp.concatenate(
+                [jnp.asarray(images),
+                 jnp.zeros((pad,) + tuple(images.shape[1:]),
+                           jnp.asarray(images).dtype)], axis=0)
+        dets, masks = infer_(params, state, quant, images)
+        return (dets[:b], masks[:b]) if pad else (dets, masks)
 
     return infer
 

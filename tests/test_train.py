@@ -312,6 +312,20 @@ def test_sharded_inference_matches_single():
     np.testing.assert_allclose(np.asarray(d_single), np.asarray(d_mesh),
                                atol=2e-3, rtol=1e-3)
 
+    # explicit mesh= path (cli.evaluate's DP serving config), including a
+    # batch that doesn't divide the mesh (zero-pad + slice)
+    infer_m = make_inference_fn(spec, conf_thresh=0.01, nms_thresh=0.5,
+                                max_boxes=16, mesh=mesh)
+    d_m8, m_m8 = infer_m(params, state, jnp.asarray(images))
+    np.testing.assert_allclose(np.asarray(m_single), np.asarray(m_m8))
+    np.testing.assert_allclose(np.asarray(d_single), np.asarray(d_m8),
+                               atol=2e-3, rtol=1e-3)
+    d_m5, m_m5 = infer_m(params, state, jnp.asarray(images[:5]))
+    assert d_m5.shape[0] == 5 and m_m5.shape[0] == 5
+    np.testing.assert_allclose(np.asarray(m_single)[:5], np.asarray(m_m5))
+    np.testing.assert_allclose(np.asarray(d_single)[:5], np.asarray(d_m5),
+                               atol=2e-3, rtol=1e-3)
+
 
 def test_checkpoint_restore_multisteps_leaf_order(tmp_path):
     """MultiSteps optimizer state must restore field-correct (a structureless
