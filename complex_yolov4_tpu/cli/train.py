@@ -135,11 +135,15 @@ def main(argv=None) -> None:
     infer_fn = None
     val_loader = None
     if not configs.no_val:
+        # Val rides the device raster too (points H2D, not 4.4 MB images):
+        # per-epoch mAP through a low-bandwidth link is minutes cheaper.
         val_loader = create_val_loader(dataset_dir, configs.batch_size,
-                                       seed=configs.seed)
+                                       seed=configs.seed,
+                                       device_raster=not configs.host_raster)
         infer_fn = make_inference_fn(
             spec, conf_thresh=configs.conf_thresh,
-            nms_thresh=configs.nms_thresh, compute_dtype=jnp.float32)
+            nms_thresh=configs.nms_thresh, compute_dtype=jnp.float32,
+            from_points=not configs.host_raster)
 
     subdivisions = max(configs.subdivisions, 1)
     profiler_active = False

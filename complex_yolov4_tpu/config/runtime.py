@@ -152,6 +152,7 @@ class EvalConfig:
     compute_dtype: str = "float32"
     quantize: str = "none"                   # "none" | "int8" (PTQ, models/quantize.py)
     calib_batches: int = 2                   # calibration batches for --quantize int8
+    host_raster: bool = False                # force host-side BEV rasterization
 
 
 def _add_fields(parser: argparse.ArgumentParser, cls) -> None:

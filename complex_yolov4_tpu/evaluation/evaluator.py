@@ -28,6 +28,8 @@ def make_inference_fn(
     compute_dtype=jnp.float32,
     quant=None,
     mesh=None,
+    from_points: bool = False,
+    img_size: Optional[int] = None,
 ) -> Callable:
     """Jitted (params, state, images) -> (detections, det_masks).
 
@@ -43,9 +45,26 @@ def make_inference_fn(
     one chip or a whole slice (the DP inference equivalent of the sharded
     train step). Batches that don't divide the mesh are zero-padded and the
     pad rows sliced off after.
-    """
 
-    def infer_impl(params, state, quant, images):
+    from_points: the returned fn takes a DEFERRED batch (compact padded
+    points + decisions, loader `device_raster=True`) and rasterizes the BEV
+    on device inside the same program, resized to `img_size` — ~14x less
+    H2D per frame than uploading images (decisive through low-bandwidth
+    links; the bench/entry serving configs do the same).
+    """
+    from ..data import bev as bev_mod
+
+    n_inputs = 5 if from_points else 1
+
+    def infer_impl(params, state, quant, *inputs):
+        if from_points:
+            points, pmask, flip, holes, hole_mask = inputs
+            images = bev_mod.images_from_deferred_batch(
+                {"points": points, "point_mask": pmask, "flip": flip,
+                 "holes": holes, "hole_mask": hole_mask},
+                img_size or _default_bev())
+        else:
+            (images,) = inputs
         decoded, _ = net.apply(spec, params, state, images, train=False,
                                compute_dtype=compute_dtype, quant=quant)
         return nms_batch(decoded, conf_thresh, nms_thresh, max_boxes)
@@ -53,8 +72,8 @@ def make_inference_fn(
     if mesh is None:
         infer_ = jax.jit(infer_impl)
 
-        def infer(params, state, images):
-            return infer_(params, state, quant, images)
+        def infer(params, state, *inputs):
+            return infer_(params, state, quant, *inputs)
 
         return infer
 
@@ -62,22 +81,31 @@ def make_inference_fn(
 
     repl = pmesh.replicated(mesh)
     data = pmesh.data_sharding(mesh)
-    infer_ = jax.jit(infer_impl, in_shardings=(repl, repl, repl, data),
+    infer_ = jax.jit(infer_impl,
+                     in_shardings=(repl, repl, repl) + (data,) * n_inputs,
                      out_shardings=(data, data))
     n_dev = int(mesh.devices.size)
 
-    def infer(params, state, images):
-        b = images.shape[0]
+    def infer(params, state, *inputs):
+        b = inputs[0].shape[0]
         pad = (-b) % n_dev
         if pad:
-            images = jnp.concatenate(
-                [jnp.asarray(images),
-                 jnp.zeros((pad,) + tuple(images.shape[1:]),
-                           jnp.asarray(images).dtype)], axis=0)
-        dets, masks = infer_(params, state, quant, images)
+            inputs = tuple(
+                jnp.concatenate(
+                    [jnp.asarray(x),
+                     jnp.zeros((pad,) + tuple(x.shape[1:]),
+                               jnp.asarray(x).dtype)], axis=0)
+                for x in inputs)
+        dets, masks = infer_(params, state, quant, *inputs)
         return (dets[:b], masks[:b]) if pad else (dets, masks)
 
     return infer
+
+
+def _default_bev() -> int:
+    from ..config import kitti as cnf
+
+    return cnf.BEV_HEIGHT
 
 
 def evaluate_map(
@@ -96,9 +124,16 @@ def evaluate_map(
     labels = []
     n_batches = len(loader)
     for b_idx, batch in enumerate(loader):
-        images = jnp.asarray(batch["image"])
-        img_size = float(images.shape[1])
-        dets, masks = infer_fn(params, state, images)
+        if "image" in batch:
+            images = jnp.asarray(batch["image"])
+            img_size = float(images.shape[1])
+            dets, masks = infer_fn(params, state, images)
+        else:  # deferred batch: device-side raster (from_points infer fn)
+            img_size = float(batch.get("size") or _default_bev())
+            dets, masks = infer_fn(
+                params, state, jnp.asarray(batch["points"]),
+                jnp.asarray(batch["point_mask"]), jnp.asarray(batch["flip"]),
+                jnp.asarray(batch["holes"]), jnp.asarray(batch["hole_mask"]))
         dets = np.asarray(dets)
         masks = np.asarray(masks)
         targets = batch["targets"]

@@ -327,6 +327,44 @@ def test_sharded_inference_matches_single():
                                atol=2e-3, rtol=1e-3)
 
 
+def test_from_points_inference_matches_image_path():
+    """from_points inference (device raster inside the program) must equal
+    the image-input program fed the same device-rasterized images."""
+    from complex_yolov4_tpu.data import bev as bev_mod
+    from complex_yolov4_tpu.evaluation import make_inference_fn
+
+    spec = get_model_spec("complex_yolov4_tiny", width=96, height=96)
+    params, state = net.init_params(spec, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    b, n_pts = 2, 4096
+    pts = np.zeros((b, n_pts, 4), np.float32)
+    pts[..., 0] = rng.uniform(0, 50, (b, n_pts))
+    pts[..., 1] = rng.uniform(-25, 25, (b, n_pts))
+    pts[..., 2] = rng.uniform(-2, 1, (b, n_pts))
+    pts[..., 3] = rng.uniform(0, 1, (b, n_pts))
+    pmask = np.ones((b, n_pts), np.float32)
+    flip = np.array([0.0, 1.0], np.float32)
+    holes = np.zeros((b, 1, 5), np.float32)
+    holes[1, 0] = (10, 40, 20, 60, 0.3)
+    hole_mask = np.array([[0.0], [1.0]], np.float32)
+    batch = {"points": jnp.asarray(pts), "point_mask": jnp.asarray(pmask),
+             "flip": jnp.asarray(flip), "holes": jnp.asarray(holes),
+             "hole_mask": jnp.asarray(hole_mask)}
+
+    infer_pts = make_inference_fn(spec, conf_thresh=0.01, nms_thresh=0.5,
+                                  max_boxes=16, from_points=True, img_size=96)
+    d_p, m_p = infer_pts(params, state, batch["points"], batch["point_mask"],
+                         batch["flip"], batch["holes"], batch["hole_mask"])
+
+    images = bev_mod.images_from_deferred_batch(batch, 96)
+    infer_img = make_inference_fn(spec, conf_thresh=0.01, nms_thresh=0.5,
+                                  max_boxes=16)
+    d_i, m_i = infer_img(params, state, images)
+    np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_i))
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_i),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_checkpoint_restore_multisteps_leaf_order(tmp_path):
     """MultiSteps optimizer state must restore field-correct (a structureless
     orbax restore returns alphabetical dicts that silently permute namedtuple
