@@ -33,21 +33,33 @@ def main(argv=None) -> None:
     dataset_dir = common.resolve_dataset_dir(configs)
     spec = common.resolve_spec(configs)
     params, state = common.init_or_load(spec, configs.pretrained_path)
+    # Device-side raster by default: only compact points cross the link for
+    # inference; the host image stays in the batch for drawing.
+    device_raster = not configs.host_raster
     loader = create_test_loader(dataset_dir, configs.batch_size,
-                                num_samples=configs.num_samples)
+                                num_samples=configs.num_samples,
+                                device_raster=device_raster)
     spec, params, state, quant = common.maybe_quantize(
         spec, params, state, configs, loader)
     infer = make_inference_fn(
         spec, conf_thresh=configs.conf_thresh, nms_thresh=configs.nms_thresh,
-        compute_dtype=common.compute_dtype_of(configs), quant=quant)
+        compute_dtype=common.compute_dtype_of(configs), quant=quant,
+        from_points=device_raster)
     if configs.save_test_output:
         os.makedirs(configs.results_dir, exist_ok=True)
     video_writer = None
 
     for b_idx, batch in enumerate(loader):
-        images = jnp.asarray(batch["image"])
+        images = np.asarray(batch["image"])  # host-side, for drawing
+        if device_raster:
+            args = (jnp.asarray(batch["points"]),
+                    jnp.asarray(batch["point_mask"]),
+                    jnp.asarray(batch["flip"]), jnp.asarray(batch["holes"]),
+                    jnp.asarray(batch["hole_mask"]))
+        else:
+            args = (jnp.asarray(images),)
         t0 = time_synchronized()
-        dets, masks = infer(params, state, images)
+        dets, masks = infer(params, state, *args)
         t1 = time_synchronized(dets, masks)
         dets, masks = np.asarray(dets), np.asarray(masks)
         fps = images.shape[0] / max(t1 - t0, 1e-9)

@@ -127,6 +127,7 @@ class TestConfig:
     compute_dtype: str = "bfloat16"
     quantize: str = "none"                   # "none" | "int8" (PTQ, models/quantize.py)
     calib_batches: int = 2                   # calibration batches for --quantize int8
+    host_raster: bool = False                # force host-side BEV rasterization
 
     @property
     def results_dir(self) -> str:

@@ -164,8 +164,40 @@ class BatchIterator:
         }
         return batch
 
+    def _make_batch_deferred_test(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        """Test-mode deferred batch: compact padded points for the
+        `from_points` inference program, PLUS the host-rasterized BEV image
+        (native, ~3 ms/frame) for drawing — only the points cross the link."""
+        from . import bev as bev_mod
+        from .. import native
+
+        b = len(indices)
+        pts = np.zeros((b, MAX_POINTS, 4), np.float32)
+        msk = np.zeros((b, MAX_POINTS), np.float32)
+        imgs = np.empty((b, self.dataset.img_size, self.dataset.img_size, 3),
+                        np.float32)
+        ids = []
+        for j, index in enumerate(indices):
+            sample_id = self.dataset.sample_id_list[int(index)]
+            ids.append(sample_id)
+            lidar = self.dataset.get_lidar(sample_id)
+            cropped = bev_mod.remove_points_outside(lidar)
+            pts[j], msk[j] = bev_mod.pad_points(cropped, MAX_POINTS)
+            imgs[j] = (native.rasterize_points(lidar) if native.is_available()
+                       else bev_mod.make_bev_map(cropped))
+        return {
+            "points": pts, "point_mask": msk,
+            "flip": np.zeros((b,), np.float32),
+            "holes": np.zeros((b, 1, 5), np.float32),
+            "hole_mask": np.zeros((b, 1), np.float32),
+            "image": imgs,
+            "sample_ids": np.asarray(ids, np.int64),
+        }
+
     def _make_batch(self, indices: np.ndarray, batch_idx: int, size: int) -> Dict[str, np.ndarray]:
         if self.device_raster:
+            if self.dataset.is_test:
+                return self._make_batch_deferred_test(indices)
             batch = self._make_batch_deferred(indices, size)
             if batch is not None:
                 return batch
@@ -286,7 +318,13 @@ def create_val_loader(dataset_dir: str, batch_size: int, *,
 
 
 def create_test_loader(dataset_dir: str, batch_size: int, *,
-                       num_samples: Optional[int] = None) -> BatchIterator:
-    """Test/demo pipeline: BEV only (reference: kitti_dataloader.py:64-76)."""
+                       num_samples: Optional[int] = None,
+                       device_raster: bool = False) -> BatchIterator:
+    """Test/demo pipeline: BEV only (reference: kitti_dataloader.py:64-76).
+
+    device_raster: also emit compact padded points so inference can raster
+    on device (`from_points`); the host image stays in the batch for
+    drawing."""
     ds = KittiDataset(dataset_dir, mode="test", num_samples=num_samples)
-    return BatchIterator(ds, batch_size, shuffle=False, drop_last=False, prefetch=0)
+    return BatchIterator(ds, batch_size, shuffle=False, drop_last=False,
+                         prefetch=0, device_raster=device_raster)
