@@ -31,22 +31,38 @@ from . import common
 
 def export_stablehlo(spec, params, state, output: str, *, batch: int,
                      img_size: int, conf_thresh: float, nms_thresh: float,
-                     max_boxes: int) -> None:
+                     max_boxes: int, input_kind: str = "image",
+                     max_points: int = 20480) -> None:
     from jax import export as jexport
 
     fparams = net.fold_batchnorm(spec, params, state)
     fspec = net.fold_spec(spec)
 
-    def infer(params, images):
+    def forward(params, images):
         decoded, _ = net.apply(fspec, params, {}, images,
                                compute_dtype=jnp.bfloat16,
                                use_pallas_conv=False)
         return nms_batch(decoded, conf_thresh, nms_thresh, max_boxes)
 
-    args = (
-        fparams,
-        jax.ShapeDtypeStruct((batch, img_size, img_size, 3), jnp.float32),
-    )
+    if input_kind == "points":
+        # serving signature: (padded (B, P, 4) clouds, (B, P) mask) ->
+        # detections; the BEV raster runs inside the artifact
+        from ..data import bev as bev_mod
+
+        def infer(params, points, pmask):
+            return forward(params, bev_mod.make_bev_map_jax(points, pmask))
+
+        args = (
+            fparams,
+            jax.ShapeDtypeStruct((batch, max_points, 4), jnp.float32),
+            jax.ShapeDtypeStruct((batch, max_points), jnp.float32),
+        )
+    else:
+        infer = forward
+        args = (
+            fparams,
+            jax.ShapeDtypeStruct((batch, img_size, img_size, 3), jnp.float32),
+        )
     exported = jexport.export(jax.jit(infer))(*args)
     data = exported.serialize()
     with open(output, "wb") as f:
@@ -71,6 +87,11 @@ def main(argv=None) -> None:
     parser.add_argument("--conf_thresh", type=float, default=0.5)
     parser.add_argument("--nms_thresh", type=float, default=0.5)
     parser.add_argument("--max_boxes", type=int, default=128)
+    parser.add_argument("--input", type=str, default="image",
+                        choices=["image", "points"],
+                        help="stablehlo input signature: BEV images, or "
+                             "padded point clouds (raster inside the artifact)")
+    parser.add_argument("--max_points", type=int, default=20480)
     args = parser.parse_args(argv)
 
     spec = common.resolve_spec(args)
@@ -79,7 +100,8 @@ def main(argv=None) -> None:
     if args.format == "stablehlo":
         export_stablehlo(spec, params, state, args.output, batch=args.batch,
                          img_size=args.img_size, conf_thresh=args.conf_thresh,
-                         nms_thresh=args.nms_thresh, max_boxes=args.max_boxes)
+                         nms_thresh=args.nms_thresh, max_boxes=args.max_boxes,
+                         input_kind=args.input, max_points=args.max_points)
     elif args.format == "darknet":
         wio.save_darknet_weights(spec, params, state, args.output)
         print(f"wrote darknet weights -> {args.output}")

@@ -135,6 +135,20 @@ def test_export_cli_all_formats(kitti_root, tmp_path):
     dets, masks = restored.call(fparams, imgs)
     assert dets.shape == (1, 16, 9)
 
+    # points-input serving artifact: raster runs inside the program
+    out_p = str(tmp_path / "model_pts.shlo")
+    main(["--model", "complex_yolov4_tiny", "--format", "stablehlo",
+          "--output", out_p, "--input", "points", "--max_points", "2048",
+          "--max_boxes", "16"])
+    restored_p = jexport.deserialize(open(out_p, "rb").read())
+    pts = np.zeros((1, 2048, 4), np.float32)
+    pts[0, :, 0] = np.linspace(1, 40, 2048)
+    pts[0, :, 1] = np.linspace(-20, 20, 2048)
+    dets_p, masks_p = restored_p.call(fparams, pts,
+                                      np.ones((1, 2048), np.float32))
+    assert dets_p.shape == (1, 16, 9)
+    assert np.all(np.isfinite(np.asarray(dets_p)))
+
 
 def test_train_cli_profiler_flag(kitti_root, tmp_path):
     from complex_yolov4_tpu.cli.train import main
