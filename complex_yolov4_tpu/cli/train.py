@@ -96,7 +96,7 @@ def main(argv=None) -> None:
     step = T.make_train_step(
         spec, tx, use_giou_loss=configs.use_giou_loss,
         compute_dtype=common.compute_dtype_of(configs), mesh=mesh,
-        remat=configs.remat, device_raster=device_raster)
+        remat=configs.remat, device_raster=device_raster, metrics_cond=True)
     lr_fn = T.make_lr_fn(configs.lr_type, configs.lr, burn_in=configs.burn_in,
                          steps=configs.steps, num_epochs=configs.num_epochs)
 
@@ -126,7 +126,8 @@ def main(argv=None) -> None:
                 device_raster=device_raster,
                 max_holes=max(configs.cutout_nholes, 1))
             dummy_state, _ = step(dummy_state, dummy, jnp.float32(0.0),
-                                  size if device_raster else 0)
+                                  size if device_raster else 0,
+                                  jnp.bool_(False))
         jax.block_until_ready(dummy_state.params)
         del dummy_state
         logger.info("precompiled %d multiscale size buckets in %.1fs",
@@ -168,8 +169,13 @@ def main(argv=None) -> None:
                 jax.profiler.start_trace(configs.logs_dir)
                 profiler_active = True
             img_size = int(device_batch.pop("size", 0))
+            # metric-only geometry (lax.cond in the loss) runs only on steps
+            # whose metrics tensorboard will actually read
+            wm = (tb_writer is not None
+                  and (global_iter + 1) % configs.tensorboard_freq == 0)
             state, metrics = step(state, device_batch, jnp.float32(lr),
-                                  img_size if device_raster else 0)
+                                  img_size if device_raster else 0,
+                                  jnp.bool_(wm))
             global_iter += 1
             if profiler_active and global_iter >= (
                     configs.profile_start + configs.profile_steps):

@@ -193,6 +193,7 @@ def head_loss(
     target_mask: jnp.ndarray,
     *,
     use_giou_loss: bool = False,
+    want_metrics=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Loss for one YOLO head.
 
@@ -201,6 +202,11 @@ def head_loss(
         layout (B, G, G, A)).
       targets: (B, T, 7) [cls, x, y, w, l, im, re], geometry in [0, 1].
       target_mask: (B, T) validity.
+      want_metrics: None (default) — always compute the full 18-metric dict.
+        A traced bool — gate the metric-only work (pred-vs-target rotated
+        IoU in MSE mode, score scatters, recall/precision) behind lax.cond,
+        so steps that don't consume metrics (every non-tensorboard step)
+        skip the geometry entirely while compiling ONE program.
 
     Returns (total_loss, metrics).
     """
@@ -278,14 +284,8 @@ def head_loss(
          jnp.arctan2(pb[..., 4], pb[..., 5])], axis=-1)
     vmask = valid.astype(jnp.float32)
     if use_giou_loss:
-        giou, iou = rb.rotated_giou(p5, t5)
+        giou, iou_for_loss = rb.rotated_giou(p5, t5)
         giou_loss = jnp.sum((1.0 - giou) * vmask) / jnp.maximum(n_valid, 1.0)
-    else:
-        iou = rb.rotated_iou(p5, t5)
-        giou_loss = jnp.float32(0.0)
-    iou_loss_plain = jnp.sum((1.0 - iou) * vmask) / jnp.maximum(n_valid, 1.0)
-
-    if use_giou_loss:
         loss_obj = loss_conf_obj + loss_conf_noobj
         total = (
             giou_loss * LGIOU_SCALE
@@ -294,23 +294,49 @@ def head_loss(
             + loss_cls * LCLS_SCALE
         )
     else:
+        iou_for_loss = None  # only metrics need it; computed under the gate
+        giou_loss = jnp.float32(0.0)
         loss_obj = OBJ_SCALE * loss_conf_obj + NOOBJ_SCALE * loss_conf_noobj
         total = loss_x + loss_y + loss_w + loss_h + loss_eular + loss_obj + loss_cls
 
     # ---- metrics (parity with yolo_layer.py:223-251) ----
-    cls_pred_at = jnp.argmax(pred_cls, axis=-1)
-    class_match = scatter(
-        (cls_pred_at[jnp.where(valid, cell, 0).ravel()].reshape(b_sz, t_cap) == cls_safe
-         ).astype(jnp.float32) * vmask)
-    iou_scores_flat = scatter(iou * vmask)
-    conf50 = (pred_conf > 0.5).astype(jnp.float32)
-    iou50 = (iou_scores_flat > 0.5).astype(jnp.float32)
-    iou75 = (iou_scores_flat > 0.75).astype(jnp.float32)
-    detected = conf50 * class_match * obj_flat
+    def _metric_extras():
+        iou = (rb.rotated_iou(p5, t5) if iou_for_loss is None
+               else iou_for_loss)
+        iou_loss_plain = (jnp.sum((1.0 - iou) * vmask)
+                          / jnp.maximum(n_valid, 1.0))
+        cls_pred_at = jnp.argmax(pred_cls, axis=-1)
+        class_match = scatter(
+            (cls_pred_at[tgt_cell].reshape(b_sz, t_cap) == cls_safe
+             ).astype(jnp.float32) * vmask)
+        iou_scores_flat = scatter(iou * vmask)
+        conf50 = (pred_conf > 0.5).astype(jnp.float32)
+        iou50 = (iou_scores_flat > 0.5).astype(jnp.float32)
+        iou75 = (iou_scores_flat > 0.75).astype(jnp.float32)
+        detected = conf50 * class_match * obj_flat
+        return (
+            _masked_mean(iou_scores_flat, obj_flat),              # iou_score
+            giou_loss if use_giou_loss else iou_loss_plain,       # giou_loss
+            100.0 * _masked_mean(class_match, obj_flat),          # cls_acc
+            jnp.sum(iou50 * detected) / jnp.maximum(n_obj, _EPS),  # recall50
+            jnp.sum(iou75 * detected) / jnp.maximum(n_obj, _EPS),  # recall75
+            jnp.sum(iou50 * detected) / (jnp.sum(conf50) + _EPS),  # precision
+            _masked_mean(pred_conf, obj_flat),                    # conf_obj
+            _masked_mean(pred_conf, noobj_flat),                  # conf_noobj
+        )
+
+    if want_metrics is None:
+        extras = _metric_extras()
+    else:
+        extras = jax.lax.cond(
+            want_metrics, _metric_extras,
+            lambda: tuple(jnp.float32(0.0) for _ in range(8)))
+    (iou_score, giou_metric, cls_acc, recall50, recall75, precision,
+     conf_obj, conf_noobj) = extras
     metrics = {
         "loss": total,
-        "iou_score": _masked_mean(iou_scores_flat, obj_flat),
-        "giou_loss": giou_loss if use_giou_loss else iou_loss_plain,
+        "iou_score": iou_score,
+        "giou_loss": giou_metric,
         "loss_x": loss_x,
         "loss_y": loss_y,
         "loss_w": loss_w,
@@ -320,12 +346,12 @@ def head_loss(
         "loss_re": loss_re,
         "loss_obj": loss_obj,
         "loss_cls": loss_cls,
-        "cls_acc": 100.0 * _masked_mean(class_match, obj_flat),
-        "recall50": jnp.sum(iou50 * detected) / jnp.maximum(n_obj, _EPS),
-        "recall75": jnp.sum(iou75 * detected) / jnp.maximum(n_obj, _EPS),
-        "precision": jnp.sum(iou50 * detected) / (jnp.sum(conf50) + _EPS),
-        "conf_obj": _masked_mean(pred_conf, obj_flat),
-        "conf_noobj": _masked_mean(pred_conf, noobj_flat),
+        "cls_acc": cls_acc,
+        "recall50": recall50,
+        "recall75": recall75,
+        "precision": precision,
+        "conf_obj": conf_obj,
+        "conf_noobj": conf_noobj,
     }
     return total, metrics
 
@@ -337,6 +363,7 @@ def network_loss(
     target_mask: jnp.ndarray,
     *,
     use_giou_loss: bool = False,
+    want_metrics=None,
 ) -> Tuple[jnp.ndarray, List[Dict[str, jnp.ndarray]]]:
     """Sum of per-head losses (reference: darknet2pytorch.py:220-226).
 
@@ -347,7 +374,8 @@ def network_loss(
     all_metrics = []
     for hspec, raw in zip(yolo_specs, head_raw):
         loss, metrics = head_loss(
-            raw, hspec, targets, target_mask, use_giou_loss=use_giou_loss)
+            raw, hspec, targets, target_mask, use_giou_loss=use_giou_loss,
+            want_metrics=want_metrics)
         total = total + loss
         all_metrics.append(metrics)
     return total, all_metrics

@@ -60,6 +60,7 @@ def make_train_step(
     mesh=None,
     remat: bool = False,
     device_raster: bool = False,
+    metrics_cond: bool = False,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jnp.ndarray],
               Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted (state, batch, lr) -> (state, metrics) step.
@@ -76,6 +77,12 @@ def make_train_step(
     (state, batch, lr, img_size). Per-step H2D drops ~14x (points vs
     rasterized images), which is the difference between a starved and a
     saturated chip on low-H2D-bandwidth hosts.
+
+    With `metrics_cond`, the step takes a trailing traced bool
+    (state, batch, lr, img_size, want_metrics): the metric-only loss work
+    (pred-vs-target rotated IoU in MSE mode, score scatters) runs under
+    lax.cond — steps that don't feed tensorboard skip that geometry while
+    still compiling ONE program per size bucket.
     """
     from ..data import bev as bev_mod
 
@@ -87,7 +94,7 @@ def make_train_step(
         forward = jax.checkpoint(forward)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], lr: jnp.ndarray,
-             img_size: int = 0):
+             img_size: int = 0, want_metrics=True):
         if device_raster:
             images = bev_mod.images_from_deferred_batch(
                 batch, img_size or cnf_bev_size())
@@ -99,7 +106,8 @@ def make_train_step(
         def loss_fn(params):
             (_, head_raw), new_bn = forward(params, state.bn_state, images)
             total, head_metrics = network_loss(
-                spec, head_raw, targets, tmask, use_giou_loss=use_giou_loss)
+                spec, head_raw, targets, tmask, use_giou_loss=use_giou_loss,
+                want_metrics=want_metrics if metrics_cond else None)
             return total, (new_bn, head_metrics)
 
         (loss, (new_bn, head_metrics)), grads = jax.value_and_grad(
@@ -133,7 +141,7 @@ def make_train_step(
         batch_sh = {"image": data, "targets": data, "target_mask": data}
     return jax.jit(
         step,
-        in_shardings=(repl, batch_sh, repl),
+        in_shardings=(repl, batch_sh, repl) + ((repl,) if metrics_cond else ()),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
         static_argnums=(3,),

@@ -71,6 +71,40 @@ def test_train_step_updates_params_and_decreases_loss():
     assert losses[-1] < losses[0]  # overfits a fixed batch quickly
 
 
+def test_metrics_cond_step_matches_full():
+    """metrics_cond step: want_metrics=True reproduces the always-metrics
+    step exactly; want_metrics=False yields identical loss/params with the
+    gated metrics zeroed (the lax.cond skips the IoU geometry)."""
+    spec, state_a, step_full, batch = _tiny_setup()
+    tx = T.create_optimizer(state_a.params, optimizer_type="sgd")
+    step_c = T.make_train_step(spec, tx, compute_dtype=jnp.float32,
+                               metrics_cond=True)
+    state_b = T.TrainState.create(
+        jax.tree.map(jnp.copy, state_a.params),
+        jax.tree.map(jnp.copy, state_a.bn_state), tx)
+    state_c = T.TrainState.create(
+        jax.tree.map(jnp.copy, state_a.params),
+        jax.tree.map(jnp.copy, state_a.bn_state), tx)
+
+    state_a, m_full = step_full(state_a, batch, jnp.float32(1e-3))
+    state_b, m_on = step_c(state_b, batch, jnp.float32(1e-3), 0,
+                           jnp.bool_(True))
+    state_c, m_off = step_c(state_c, batch, jnp.float32(1e-3), 0,
+                            jnp.bool_(False))
+
+    for k in m_full:
+        np.testing.assert_allclose(np.asarray(m_full[k]), np.asarray(m_on[k]),
+                                   rtol=1e-6, atol=1e-6, err_msg=k)
+    np.testing.assert_allclose(float(m_full["loss"]), float(m_off["loss"]),
+                               rtol=1e-6)
+    assert float(m_off["head0/iou_score"]) == 0.0
+    assert float(m_off["head0/recall50"]) == 0.0
+    for pa, pc in zip(jax.tree.leaves(state_a.params),
+                      jax.tree.leaves(state_c.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pc),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_train_step_across_multiscale_sizes():
     """One compiled step function must serve consecutive multiscale sizes
     (reference redraws the size every 10 batches, kitti_dataset.py:224-230);
