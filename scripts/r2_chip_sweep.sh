@@ -25,7 +25,9 @@ BENCH_QUANT=none run bench_bf16 900 python bench.py
 #    landscape around mid-C convs (the old late128 regression may have moved)
 BENCH_QUANT_MODE=late128 run bench_late128 900 python bench.py
 BENCH_QUANT_MODE=all     run bench_all     900 python bench.py
-# 4. train-step cost breakdown (VERDICT r1 #5)
+# 4. per-stage e2e split at the new default config
+run stages           900 python scripts/bench_stages.py
+# 5. train-step cost breakdown (VERDICT r1 #5)
 run train_parts_mse  1200 python scripts/bench_train_parts.py
 GIOU=1 run train_parts_giou 1200 python scripts/bench_train_parts.py
 echo "done; logs in $LOG"
