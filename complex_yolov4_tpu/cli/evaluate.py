@@ -30,16 +30,16 @@ def main(argv=None) -> None:
     loader = create_val_loader(dataset_dir, configs.batch_size,
                                num_samples=configs.num_samples,
                                device_raster=device_raster)
-    if getattr(configs, "quantize", "none") == "int8":
-        # calibration needs host-rasterized images; use a small host loader
-        calib_loader = create_val_loader(
-            dataset_dir, configs.batch_size,
-            num_samples=configs.num_samples)
-        spec, params, state, quant = common.maybe_quantize(
-            spec, params, state, configs, calib_loader)
-    else:
-        spec, params, state, quant = common.maybe_quantize(
-            spec, params, state, configs, loader)
+    # int8 calibration needs host-rasterized images; when the eval loader is
+    # deferred (points), hand maybe_quantize a host-raster twin instead
+    # (maybe_quantize itself no-ops unless --quantize int8).
+    calib_loader = (create_val_loader(dataset_dir, configs.batch_size,
+                                      num_samples=configs.num_samples)
+                    if device_raster
+                    and getattr(configs, "quantize", "none") == "int8"
+                    else loader)
+    spec, params, state, quant = common.maybe_quantize(
+        spec, params, state, configs, calib_loader)
     # Multi-device hosts evaluate data-parallel: batch sharded over the mesh,
     # weights replicated (single device degrades to the plain jit).
     import jax

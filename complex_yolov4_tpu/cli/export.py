@@ -46,11 +46,19 @@ def export_stablehlo(spec, params, state, output: str, *, batch: int,
 
     if input_kind == "points":
         # serving signature: (padded (B, P, 4) clouds, (B, P) mask) ->
-        # detections; the BEV raster runs inside the artifact
+        # detections; the BEV raster runs inside the artifact, resized to
+        # img_size when it differs from the native 608 (same semantics as
+        # the training/eval device-raster path)
         from ..data import bev as bev_mod
 
         def infer(params, points, pmask):
-            return forward(params, bev_mod.make_bev_map_jax(points, pmask))
+            b = points.shape[0]
+            return forward(params, bev_mod.images_from_deferred_batch(
+                {"points": points, "point_mask": pmask,
+                 "flip": jnp.zeros((b,), jnp.float32),
+                 "holes": jnp.zeros((b, 0, 5), jnp.float32),
+                 "hole_mask": jnp.zeros((b, 0), jnp.float32)},
+                img_size))
 
         args = (
             fparams,

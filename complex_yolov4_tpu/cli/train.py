@@ -148,89 +148,98 @@ def main(argv=None) -> None:
 
     subdivisions = max(configs.subdivisions, 1)
     profiler_active = False
-    for epoch in range(start_epoch, configs.num_epochs + 1):
-        loader.set_epoch(epoch)
-        batch_time = AverageMeter("Time", ":6.3f")
-        loss_meter = AverageMeter("Loss", ":.4e")
-        progress = ProgressMeter(len(loader), [batch_time, loss_meter],
-                                 prefix=f"Epoch [{epoch}/{configs.num_epochs}]")
-        t0 = time.time()
-        pending = []  # (batch_count, device loss scalar) not yet pulled
-        prefetch_keys = (("points", "point_mask", "flip", "holes", "hole_mask",
-                          "targets", "target_mask") if device_raster
-                         else ("image", "targets", "target_mask"))
-        for b_idx, device_batch in enumerate(device_prefetch(
-                loader, mesh, keys=prefetch_keys, host_keys=("size",))):
-            # multi_step advances per OPTIMIZER iteration — the reference
-            # steps its scheduler only when an optimizer step fires
-            # (train.py:213-218), i.e. every `subdivisions` micro-batches.
-            lr = lr_fn(global_iter // subdivisions, epoch - 1)
-            if configs.profile_steps and global_iter == configs.profile_start:
-                jax.profiler.start_trace(configs.logs_dir)
-                profiler_active = True
-            img_size = int(device_batch.pop("size", 0))
-            # metric-only geometry (lax.cond in the loss) runs only on steps
-            # whose metrics tensorboard will actually read
-            wm = (tb_writer is not None
-                  and (global_iter + 1) % configs.tensorboard_freq == 0)
-            state, metrics = step(state, device_batch, jnp.float32(lr),
-                                  img_size if device_raster else 0,
-                                  jnp.bool_(wm))
-            global_iter += 1
-            if profiler_active and global_iter >= (
-                    configs.profile_start + configs.profile_steps):
-                jax.block_until_ready(metrics["loss"])
-                jax.profiler.stop_trace()
-                profiler_active = False
-                logger.info("profiler trace written to %s", configs.logs_dir)
-            # Defer the scalar read: float(loss) every step costs a ~50 ms
-            # tunnel round trip AND stalls the dispatch pipeline (measured
-            # ~250 ms/step vs the 104 ms device step). Losses stay on device
-            # and are pulled in one transfer per print/tensorboard window.
-            pending.append((device_batch["targets"].shape[0], metrics["loss"]))
-            batch_time.update(time.time() - t0)
+    try:
+        for epoch in range(start_epoch, configs.num_epochs + 1):
+            loader.set_epoch(epoch)
+            batch_time = AverageMeter("Time", ":6.3f")
+            loss_meter = AverageMeter("Loss", ":.4e")
+            progress = ProgressMeter(len(loader), [batch_time, loss_meter],
+                                     prefix=f"Epoch [{epoch}/{configs.num_epochs}]")
             t0 = time.time()
-            want_print = is_lead and b_idx % configs.print_freq == 0
-            want_tb = (tb_writer is not None
-                       and global_iter % configs.tensorboard_freq == 0)
-            if want_print or want_tb:
+            pending = []  # (batch_count, device loss scalar) not yet pulled
+            prefetch_keys = (("points", "point_mask", "flip", "holes", "hole_mask",
+                              "targets", "target_mask") if device_raster
+                             else ("image", "targets", "target_mask"))
+            for b_idx, device_batch in enumerate(device_prefetch(
+                    loader, mesh, keys=prefetch_keys, host_keys=("size",))):
+                # multi_step advances per OPTIMIZER iteration — the reference
+                # steps its scheduler only when an optimizer step fires
+                # (train.py:213-218), i.e. every `subdivisions` micro-batches.
+                lr = lr_fn(global_iter // subdivisions, epoch - 1)
+                if configs.profile_steps and global_iter == configs.profile_start:
+                    jax.profiler.start_trace(configs.logs_dir)
+                    profiler_active = True
+                img_size = int(device_batch.pop("size", 0))
+                # metric-only geometry (lax.cond in the loss) runs only on steps
+                # whose metrics tensorboard will actually read. The predicate is
+                # pure config (NOT is_lead/tb_writer): every process in a
+                # multi-host mesh must take the same cond branch, or the
+                # true-branch's cross-shard reductions deadlock.
+                wm = (global_iter + 1) % configs.tensorboard_freq == 0
+                state, metrics = step(state, device_batch, jnp.float32(lr),
+                                      img_size if device_raster else 0,
+                                      jnp.bool_(wm))
+                global_iter += 1
+                if profiler_active and global_iter >= (
+                        configs.profile_start + configs.profile_steps):
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    profiler_active = False
+                    logger.info("profiler trace written to %s", configs.logs_dir)
+                # Defer the scalar read: float(loss) every step costs a ~50 ms
+                # tunnel round trip AND stalls the dispatch pipeline (measured
+                # ~250 ms/step vs the 104 ms device step). Losses stay on device
+                # and are pulled in one transfer per print/tensorboard window.
+                pending.append((device_batch["targets"].shape[0], metrics["loss"]))
+                batch_time.update(time.time() - t0)
+                t0 = time.time()
+                want_print = is_lead and b_idx % configs.print_freq == 0
+                want_tb = (tb_writer is not None
+                           and global_iter % configs.tensorboard_freq == 0)
+                if want_print or want_tb:
+                    vals = jax.device_get([v for _, v in pending])
+                    for (n_, _), v in zip(pending, vals):
+                        loss_meter.update(float(v), n_)
+                    pending.clear()
+                    loss = float(vals[-1])
+                if want_print:
+                    logger.info(progress.get_message(b_idx))
+                if want_tb:
+                    tb_writer.add_scalar("train/lr", lr, global_iter)
+                    tb_writer.add_scalar("train/loss", loss, global_iter)
+                    # one batched transfer for all ~54 head metrics (per-scalar
+                    # float(v) would be a ~50 ms tunnel round trip EACH)
+                    metrics_host = jax.device_get(
+                        {k: v for k, v in metrics.items() if k.startswith("head")})
+                    for k, v in metrics_host.items():
+                        tb_writer.add_scalar(f"train/{k}", float(v), global_iter)
+
+            if pending:  # drain the tail of the epoch's deferred loss reads
                 vals = jax.device_get([v for _, v in pending])
                 for (n_, _), v in zip(pending, vals):
                     loss_meter.update(float(v), n_)
                 pending.clear()
-                loss = float(vals[-1])
-            if want_print:
-                logger.info(progress.get_message(b_idx))
-            if want_tb:
-                tb_writer.add_scalar("train/lr", lr, global_iter)
-                tb_writer.add_scalar("train/loss", loss, global_iter)
-                for k, v in metrics.items():
-                    if k.startswith("head"):
-                        tb_writer.add_scalar(f"train/{k}", float(v), global_iter)
 
-        if pending:  # drain the tail of the epoch's deferred loss reads
-            vals = jax.device_get([v for _, v in pending])
-            for (n_, _), v in zip(pending, vals):
-                loss_meter.update(float(v), n_)
-            pending.clear()
+            if val_loader is not None and is_lead:
+                out = evaluate_map(infer_fn, state.params, state.bn_state,
+                                   val_loader, iou_threshold=configs.iou_thresh)
+                logger.info("epoch %d val mAP %.4f (AP per class: %s)",
+                            epoch, float(out["mAP"]), np.round(out["AP"], 4).tolist())
+                if tb_writer is not None:
+                    tb_writer.add_scalar("val/mAP", float(out["mAP"]), epoch)
 
-        if val_loader is not None and is_lead:
-            out = evaluate_map(infer_fn, state.params, state.bn_state,
-                               val_loader, iou_threshold=configs.iou_thresh)
-            logger.info("epoch %d val mAP %.4f (AP per class: %s)",
-                        epoch, float(out["mAP"]), np.round(out["AP"], 4).tolist())
-            if tb_writer is not None:
-                tb_writer.add_scalar("val/mAP", float(out["mAP"]), epoch)
+            if is_lead and (epoch % configs.checkpoint_freq == 0
+                            or epoch == configs.num_epochs):
+                # Async: the full-state D2H through the tunnel costs minutes;
+                # snapshot on device and write from a background thread.
+                T.save_checkpoint_async(configs.checkpoints_dir, state, epoch)
+                logger.info("checkpoint save for epoch %d started (async, %s)",
+                            epoch, configs.checkpoints_dir)
 
-        if is_lead and (epoch % configs.checkpoint_freq == 0
-                        or epoch == configs.num_epochs):
-            # Async: the full-state D2H through the tunnel costs minutes;
-            # snapshot on device and write from a background thread.
-            T.save_checkpoint_async(configs.checkpoints_dir, state, epoch)
-            logger.info("checkpoint save for epoch %d started (async, %s)",
-                        epoch, configs.checkpoints_dir)
-
-    T.wait_for_async_save()
+    finally:
+        # join (and surface errors from) any in-flight async
+        # checkpoint save even when the loop raises or is interrupted
+        T.wait_for_async_save()
     if tb_writer is not None:
         tb_writer.close()
     logger.info("training done: %d epochs, %d iterations",

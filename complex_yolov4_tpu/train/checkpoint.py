@@ -23,6 +23,7 @@ from .trainer import TrainState
 _DIR_RE = re.compile(r"^epoch_(\d+)$")
 
 _ASYNC_SAVER: Optional[threading.Thread] = None
+_ASYNC_ERROR: Optional[BaseException] = None
 
 # One compiled device-side copy per tree structure. Without donation XLA
 # allocates fresh output buffers, so the snapshot stays valid even after the
@@ -76,12 +77,16 @@ def save_checkpoint_async(checkpoints_dir: str, state: TrainState, epoch: int,
     })
 
     def _run():
-        host = jax.tree.map(np.asarray, jax.device_get(snap))
-        host_state = TrainState(params=host["params"],
-                                bn_state=host["bn_state"],
-                                opt_state=host["opt_state"],
-                                global_step=host["global_step"])
-        save_checkpoint(checkpoints_dir, host_state, epoch, extra)
+        global _ASYNC_ERROR
+        try:
+            host = jax.tree.map(np.asarray, jax.device_get(snap))
+            host_state = TrainState(params=host["params"],
+                                    bn_state=host["bn_state"],
+                                    opt_state=host["opt_state"],
+                                    global_step=host["global_step"])
+            save_checkpoint(checkpoints_dir, host_state, epoch, extra)
+        except BaseException as e:  # noqa: BLE001 — re-raised at the join
+            _ASYNC_ERROR = e
 
     _ASYNC_SAVER = threading.Thread(target=_run, daemon=True,
                                     name=f"ckpt-save-epoch{epoch}")
@@ -89,11 +94,16 @@ def save_checkpoint_async(checkpoints_dir: str, state: TrainState, epoch: int,
 
 
 def wait_for_async_save() -> None:
-    """Block until any in-flight async checkpoint save has finished."""
-    global _ASYNC_SAVER
+    """Block until any in-flight async checkpoint save has finished.
+    Re-raises an exception the background save hit (disk full, orbax error) —
+    a silently lost checkpoint must not look like a successful run."""
+    global _ASYNC_SAVER, _ASYNC_ERROR
     if _ASYNC_SAVER is not None and _ASYNC_SAVER.is_alive():
         _ASYNC_SAVER.join()
     _ASYNC_SAVER = None
+    if _ASYNC_ERROR is not None:
+        err, _ASYNC_ERROR = _ASYNC_ERROR, None
+        raise RuntimeError("async checkpoint save failed") from err
 
 
 def latest_epoch(checkpoints_dir: str) -> Optional[int]:

@@ -98,7 +98,11 @@ def main():
             return total
 
         g = jax.grad(loss_fn)(params)
-        return jax.tree_util.tree_leaves(g)[0].astype(jnp.float32).sum()
+        # sum EVERY leaf: returning just one dW would let XLA dead-code-
+        # eliminate the other layers' weight-gradient contractions and
+        # undercount the backward cost
+        return sum(x.astype(jnp.float32).sum()
+                   for x in jax.tree_util.tree_leaves(g))
 
     step = T.make_train_step(spec, tx, use_giou_loss=USE_GIOU,
                              compute_dtype=jnp.bfloat16)

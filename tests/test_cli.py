@@ -139,7 +139,7 @@ def test_export_cli_all_formats(kitti_root, tmp_path):
     out_p = str(tmp_path / "model_pts.shlo")
     main(["--model", "complex_yolov4_tiny", "--format", "stablehlo",
           "--output", out_p, "--input", "points", "--max_points", "2048",
-          "--max_boxes", "16"])
+          "--max_boxes", "16", "--img_size", "128"])  # raster 608 -> resize 128
     restored_p = jexport.deserialize(open(out_p, "rb").read())
     pts = np.zeros((1, 2048, 4), np.float32)
     pts[0, :, 0] = np.linspace(1, 40, 2048)
