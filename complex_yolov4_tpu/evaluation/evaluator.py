@@ -123,6 +123,24 @@ def evaluate_map(
     stats = []
     labels = []
     n_batches = len(loader)
+
+    def consume(pending, b_idx):
+        dets_d, masks_d, targets, tmasks, img_size = pending
+        dets = np.asarray(dets_d)  # blocks on the device result
+        masks = np.asarray(masks_d)
+        stats.extend(
+            M.batch_statistics(dets, masks, targets, tmasks, iou_threshold,
+                               img_size))
+        for i in range(targets.shape[0]):
+            labels.append(targets[i][tmasks[i] > 0.5][:, 0])
+        if progress is not None:
+            progress(b_idx + 1, n_batches)
+
+    # One batch in flight: dispatch batch N+1 before pulling batch N's
+    # detections, so host-side matching and next-batch assembly overlap the
+    # device program (and the link's round-trip latency).
+    pending = None
+    b_prev = 0
     for b_idx, batch in enumerate(loader):
         if "image" in batch:
             images = jnp.asarray(batch["image"])
@@ -134,15 +152,11 @@ def evaluate_map(
                 params, state, jnp.asarray(batch["points"]),
                 jnp.asarray(batch["point_mask"]), jnp.asarray(batch["flip"]),
                 jnp.asarray(batch["holes"]), jnp.asarray(batch["hole_mask"]))
-        dets = np.asarray(dets)
-        masks = np.asarray(masks)
-        targets = batch["targets"]
-        tmasks = batch["target_mask"]
-        stats.extend(
-            M.batch_statistics(dets, masks, targets, tmasks, iou_threshold, img_size)
-        )
-        for i in range(targets.shape[0]):
-            labels.append(targets[i][tmasks[i] > 0.5][:, 0])
-        if progress is not None:
-            progress(b_idx + 1, n_batches)
+        if pending is not None:
+            consume(pending, b_prev)
+        pending = (dets, masks, batch["targets"], batch["target_mask"],
+                   img_size)
+        b_prev = b_idx
+    if pending is not None:
+        consume(pending, b_prev)
     return M.summarize_map(stats, labels)
