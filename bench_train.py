@@ -24,6 +24,11 @@ def main() -> None:
     batch = int(os.environ.get("TRAIN_BENCH_BATCH", "8"))
     iters = int(os.environ.get("TRAIN_BENCH_ITERS", "10"))
     use_giou = os.environ.get("TRAIN_BENCH_GIOU", "0") == "1"
+    # Production config (cli.train defaults): device-side raster + metric
+    # geometry gated off on non-tensorboard steps. TRAIN_BENCH_RASTER=host /
+    # TRAIN_BENCH_METRICS=1 restore the old measurement.
+    device_raster = os.environ.get("TRAIN_BENCH_RASTER", "device") == "device"
+    want_metrics = os.environ.get("TRAIN_BENCH_METRICS", "0") == "1"
 
     import jax
     import jax.numpy as jnp
@@ -37,14 +42,34 @@ def main() -> None:
     tx = T.create_optimizer(params, optimizer_type="sgd")
     state = T.TrainState.create(params, bn, tx)
     step = T.make_train_step(spec, tx, use_giou_loss=use_giou,
-                             compute_dtype=jnp.bfloat16)
+                             compute_dtype=jnp.bfloat16,
+                             device_raster=device_raster, metrics_cond=True)
 
     rng = np.random.default_rng(0)
     batch_data = {
-        "image": rng.uniform(size=(batch, 608, 608, 3)).astype(np.float32),
         "targets": np.zeros((batch, 64, 7), np.float32),
         "target_mask": np.zeros((batch, 64), np.float32),
     }
+    if device_raster:
+        from complex_yolov4_tpu.data.loader import MAX_POINTS
+
+        pts = np.zeros((batch, MAX_POINTS, 4), np.float32)
+        n = 14000
+        pts[:, :n, 0] = rng.uniform(0, 50, (batch, n))
+        pts[:, :n, 1] = rng.uniform(-25, 25, (batch, n))
+        pts[:, :n, 2] = rng.uniform(-2.7, 1.2, (batch, n))
+        pts[:, :n, 3] = rng.uniform(0, 1, (batch, n))
+        pmask = np.zeros((batch, MAX_POINTS), np.float32)
+        pmask[:, :n] = 1
+        batch_data.update({
+            "points": pts, "point_mask": pmask,
+            "flip": (np.arange(batch) % 2).astype(np.float32),
+            "holes": np.zeros((batch, 1, 5), np.float32),
+            "hole_mask": np.zeros((batch, 1), np.float32),
+        })
+    else:
+        batch_data["image"] = rng.uniform(
+            size=(batch, 608, 608, 3)).astype(np.float32)
     for b in range(batch):
         for t in range(12):
             yaw = rng.uniform(-np.pi, np.pi)
@@ -54,13 +79,14 @@ def main() -> None:
             batch_data["target_mask"][b, t] = 1
     device_batch = {k: jnp.asarray(v) for k, v in batch_data.items()}
 
-    state, m = step(state, device_batch, jnp.float32(1e-4))
+    wm = jnp.bool_(want_metrics)
+    state, m = step(state, device_batch, jnp.float32(1e-4), 608, wm)
     jax.block_until_ready(m["loss"])
     assert np.isfinite(float(m["loss"]))
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, m = step(state, device_batch, jnp.float32(1e-4))
+        state, m = step(state, device_batch, jnp.float32(1e-4), 608, wm)
     jax.block_until_ready(m["loss"])
     _ = float(m["loss"])  # force a real read (tunnel semantics)
     dt = time.perf_counter() - t0
