@@ -111,18 +111,12 @@ def maybe_quantize(spec, params, state, config, loader):
     fparams = net.fold_batchnorm(spec, params, state)
     fspec = net.fold_spec(spec)
     calib = []
-    # Disable prefetch while slurping calibration batches: breaking out of
-    # the prefetching iterator would abandon its producer thread blocked on
-    # q.put (a thread + buffered-batch leak per call).
-    old_prefetch = getattr(loader, "prefetch", 0)
-    loader.prefetch = 0
-    try:
-        for i, batch in enumerate(loader):
-            if i >= max(int(config.calib_batches), 1):
-                break
-            calib.append(np.asarray(batch["image"]))
-    finally:
-        loader.prefetch = old_prefetch
+    # (BatchIterator's prefetch producer shuts itself down when the consumer
+    # breaks early, so slicing the iterator is leak-free.)
+    for i, batch in enumerate(loader):
+        if i >= max(int(config.calib_batches), 1):
+            break
+        calib.append(np.asarray(batch["image"]))
     quant = qz.quantize_model(fspec, fparams, calib,
                               compute_dtype=compute_dtype_of(config))
     print(f"PTQ int8: {len(quant)} of "

@@ -29,10 +29,17 @@ Host-vs-device parity caveats (measured, not hypothetical):
   1 ulp; a point whose coordinate sits exactly on a cell boundary in one
   rounding can land in the adjacent cell (~1 point in 10^6 on real data).
 - Device density math runs in f32 vs the host's f64 (diffs ~1e-5).
-The training/eval pipelines use the host/native path; the fused device path
-serves inference, where a one-cell raster shift on a knife-edge point is far
-below detection noise. tests/test_data.py checks the device path with a
-mismatched-cell budget instead of exact equality.
+The DEVICE path is the default everywhere hot (training steps, evaluation,
+test/demo, bench/entry: compact points cross the link, the raster runs
+inside the jitted program), and `make_bev_map_jax` additionally defaults to
+the packed single-scatter mode ((z top-23-bits | intensity 8-bit) in one
+int32 key — exact for KITTI's 8-bit intensities; pass packed=False for the
+exact 2-scatter form). The host/native path remains for mosaic assembly, drawing,
+calibration, and --host_raster opt-outs, and is the bit-exactness anchor.
+A one-cell raster shift on a knife-edge point and the packed mode's
+sub-half-ulp quantization are far below detection noise; tests/test_data.py
+checks the device path with a mismatched-cell budget instead of exact
+equality.
 
 Tie semantics: when several points in a cell share the exact max z, the
 reference keeps the first in (x, y, -z)-lexsort order; these kernels keep the

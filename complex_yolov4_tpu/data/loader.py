@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
+import warnings
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional
 
@@ -88,6 +89,8 @@ class BatchIterator:
         self.prefetch = prefetch
         self.workers = workers if workers > 0 else min(8, os.cpu_count() or 4)
         self.epoch = 0
+        self._warned_truncate = False
+        self._warned_holes = False
         base = dataset.img_size
         self.size_choices = list(range(base - 3 * 32, base + 3 * 32 + 1, 32))
 
@@ -126,8 +129,21 @@ class BatchIterator:
         rng = np.random.default_rng((self.seed, self.epoch, int(index), j))
         _, (probe, lidar), targets, mask = self.dataset.load_sample(
             int(index), rng, defer_raster=True)
-        pts, pmask = bev_mod.pad_points(
-            bev_mod.remove_points_outside(lidar), MAX_POINTS)
+        cropped = bev_mod.remove_points_outside(lidar)
+        if cropped.shape[0] > MAX_POINTS and not self._warned_truncate:
+            self._warned_truncate = True
+            warnings.warn(
+                f"device-raster path truncating {cropped.shape[0] - MAX_POINTS}"
+                f" of {cropped.shape[0]} in-boundary points (cap {MAX_POINTS});"
+                " dense frames will differ from the host raster",
+                stacklevel=2)
+        pts, pmask = bev_mod.pad_points(cropped, MAX_POINTS)
+        if len(probe.holes) > self.max_holes and not self._warned_holes:
+            self._warned_holes = True
+            warnings.warn(
+                f"device-raster path dropping {len(probe.holes) - self.max_holes}"
+                f" cutout hole(s) beyond max_holes={self.max_holes}; pass"
+                " max_holes >= cutout n_holes to BatchIterator", stacklevel=2)
         holes = np.zeros((self.max_holes, 5), np.float32)
         hole_mask = np.zeros((self.max_holes,), np.float32)
         for h, (y1, y2, x1, x2, fill) in enumerate(probe.holes[: self.max_holes]):
@@ -147,8 +163,14 @@ class BatchIterator:
             else:
                 results = [self._load_one_deferred(int(index), j)
                            for j, index in enumerate(indices)]
-        except _ProbeUnsupported:
-            return None  # custom transform moved pixels; host path required
+        except (_ProbeUnsupported, TypeError, AttributeError,
+                NotImplementedError):
+            # A custom image-space transform the probe can't record —
+            # _AugProbe only implements the built-in flip/cutout access
+            # patterns, so arbitrary array ops raise plain TypeError/
+            # AttributeError (same catch set as dataset.load_mosaic);
+            # fall back to the host-raster path.
+            return None
         cols = list(zip(*results))
         batch = {
             "points": np.stack(cols[0]),
@@ -254,25 +276,49 @@ class BatchIterator:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         error: list = []
+        stop = threading.Event()
 
         def producer():
             try:
                 for item in self._iter_sync():
-                    q.put(item)
+                    # bounded put that notices consumer abandonment: a plain
+                    # q.put would block forever when the consumer breaks out
+                    # early, leaking the thread + its buffered ~35 MB batches
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # surfaced in the consumer
                 error.append(e)
             finally:
-                q.put(sentinel)
-
+                try:
+                    q.put_nowait(sentinel)
+                except queue.Full:
+                    pass  # consumer is gone; stop is set
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    return
+                yield item
+        finally:
+            # generator closed early (break / GC): unblock and join the
+            # producer so no thread or buffered batch outlives the loop
+            stop.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=10.0)
 
 
 def create_train_loader(dataset_dir: str, batch_size: int, *,

@@ -155,6 +155,10 @@ def calibrate(
     run = jax.jit(lambda p, x: net.apply(
         fspec, p, {}, x, compute_dtype=compute_dtype,
         use_pallas_conv=False, capture_act_max=True)[-1])
+    # Upload the (host numpy, post-fold) weight tree ONCE: jit re-transfers
+    # numpy arguments per call, and each re-upload of ~100 MB of weights
+    # costs minutes through a slow H2D link when calib_batches > 1.
+    folded_params = jax.device_put(folded_params)
     acc: Dict[str, float] = {}
     for batch in batches:
         maxes = jax.device_get(run(folded_params, jnp.asarray(batch)))

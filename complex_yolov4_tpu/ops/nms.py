@@ -181,7 +181,11 @@ def nms_batch(
     group = keeper_overlap & (absorber[:, None, :] == idx[None, :, None])
     w = jnp.where(group, cand[:, None, :, 6], 0.0)  # (b, i, j)
     wsum = jnp.maximum(jnp.sum(w, axis=2, keepdims=True), 1e-16)
-    merged_boxes = jnp.einsum("bij,bjc->bic", w, cand[:, :, :6]) / wsum
+    # HIGHEST precision: the default TPU dot rounds operands to bf16, which
+    # would put ~1 px of rounding on merged centers near x=600 (the old
+    # elementwise merge was full f32)
+    merged_boxes = jnp.einsum("bij,bjc->bic", w, cand[:, :, :6],
+                              precision=jax.lax.Precision.HIGHEST) / wsum
     kept = keep.astype(jnp.float32)
     merged = jnp.concatenate([merged_boxes, cand[:, :, 6:9]], axis=-1)
 

@@ -319,6 +319,31 @@ def test_loader_determinism_and_shapes(kitti_root):
     np.testing.assert_allclose(b1["targets"], b2["targets"])
 
 
+def test_loader_prefetch_producer_shuts_down_on_break(kitti_root):
+    """Breaking out of a prefetching loader must not leak its producer
+    thread (regression: the producer used to block forever on q.put)."""
+    import threading
+    import time
+
+    before = {t.ident for t in threading.enumerate()}
+    loader = create_train_loader(kitti_root, batch_size=2, seed=7)
+    assert loader.prefetch > 0
+    for _ in loader:
+        break  # consumer abandons the iterator immediately
+    import gc
+
+    gc.collect()  # drop the suspended generator -> its finally runs
+    deadline = time.time() + 12.0
+    while time.time() < deadline:
+        extra = [t for t in threading.enumerate()
+                 if t.ident not in before and t.is_alive()
+                 and not t.name.startswith("cyv4-loader")]  # shared pool ok
+        if not extra:
+            break
+        time.sleep(0.2)
+    assert not extra, f"leaked threads: {[t.name for t in extra]}"
+
+
 def test_loader_sharding(kitti_root):
     full = create_val_loader(kitti_root, batch_size=1)
     ids = [int(b["sample_ids"][0]) for b in full]
