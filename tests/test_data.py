@@ -344,6 +344,23 @@ def test_loader_prefetch_producer_shuts_down_on_break(kitti_root):
     assert not extra, f"leaked threads: {[t.name for t in extra]}"
 
 
+def test_loader_deferred_truncation_warns(kitti_root, monkeypatch):
+    """A frame denser than the device-raster point cap must warn (silent
+    truncation would quietly diverge training data from the host raster)."""
+    import warnings as W
+
+    from complex_yolov4_tpu.data import loader as L
+
+    monkeypatch.setattr(L, "MAX_POINTS", 64)  # force the dense-frame case
+    loader = create_train_loader(kitti_root, batch_size=2, seed=7,
+                                 device_raster=True)
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        batch = next(iter(loader))
+    assert batch["points"].shape[1] == 64
+    assert any("truncating" in str(w.message) for w in caught)
+
+
 def test_loader_sharding(kitti_root):
     full = create_val_loader(kitti_root, batch_size=1)
     ids = [int(b["sample_ids"][0]) for b in full]
