@@ -68,6 +68,9 @@ def main() -> None:
             clouds, flat_cap)
 
     raster_packed = os.environ.get("BENCH_RASTER", "packed") == "packed"
+    # BENCH_DEFER_CONCAT=0 materializes multi-route concats (A/B the
+    # weight-sliced-conv elimination, network.py::_PartsConcat).
+    defer_concat = os.environ.get("BENCH_DEFER_CONCAT", "1") == "1"
     s2d_variant = os.environ.get("BENCH_S2D", "") or None
     # int8 PTQ is the default serving config: accuracy-gated on a trained
     # flagship checkpoint (PERF.md: int8 mAP 0.546 vs bf16 0.442 on the
@@ -118,7 +121,8 @@ def main() -> None:
                 points, fid, mask, batch, packed=raster_packed)
             decoded, _ = net.apply(fspec, params, {}, images,
                                    compute_dtype=jnp.bfloat16,
-                                   s2d_early=s2d_variant, quant=quant)
+                                   s2d_early=s2d_variant, quant=quant,
+                                   defer_route_concat=defer_concat)
             return nms_batch(decoded, 0.5, 0.5, nms_k)
 
         args = (jnp.asarray(pts_flat), jnp.asarray(fid_flat),
@@ -130,7 +134,8 @@ def main() -> None:
                                               packed=raster_packed)
             decoded, _ = net.apply(fspec, params, {}, images,
                                    compute_dtype=jnp.bfloat16,
-                                   s2d_early=s2d_variant, quant=quant)
+                                   s2d_early=s2d_variant, quant=quant,
+                                   defer_route_concat=defer_concat)
             return nms_batch(decoded, 0.5, 0.5, nms_k)
 
         args = (jnp.asarray(pts_batch), jnp.asarray(msk_batch))
