@@ -69,8 +69,18 @@ def main() -> None:
 
     raster_packed = os.environ.get("BENCH_RASTER", "packed") == "packed"
     # BENCH_DEFER_CONCAT=0 materializes multi-route concats (A/B the
-    # weight-sliced-conv elimination, network.py::_PartsConcat).
-    defer_concat = os.environ.get("BENCH_DEFER_CONCAT", "1") == "1"
+    # weight-sliced-conv elimination, network.py::_PartsConcat). Only an
+    # explicit 0/false turns it off; unrecognized values warn and keep the
+    # default so a typo can't silently switch the benched config.
+    defer_env = os.environ.get("BENCH_DEFER_CONCAT", "1").strip().lower()
+    if defer_env in ("0", "false", "off", "no"):
+        defer_concat = False
+    else:
+        if defer_env not in ("1", "true", "on", "yes"):
+            print(f"BENCH_DEFER_CONCAT={defer_env!r} unrecognized; "
+                  "using default (on)", file=sys.stderr)
+        defer_concat = True
+    print(f"defer_route_concat={defer_concat}", file=sys.stderr)
     s2d_variant = os.environ.get("BENCH_S2D", "") or None
     # int8 PTQ is the default serving config: accuracy-gated on a trained
     # flagship checkpoint (PERF.md: int8 mAP 0.546 vs bf16 0.442 on the
