@@ -43,12 +43,16 @@ def main() -> None:
     # Static point capacity: KITTI front-boundary crops peak around 20k
     # points; scatter cost scales with capacity, so don't over-pad.
     max_pts = int(os.environ.get("BENCH_MAX_POINTS", "20480"))
-    # Layout: "flat" (default) packs the batch's clouds into ONE buffer sized
-    # for the batch TOTAL (mean + headroom, 14336/frame) instead of
-    # batch x max-frame — ~1.4x fewer scatter lanes, the only raster lever
-    # (scatter is ~10 ns/update regardless of content, PERF.md).
-    # BENCH_RASTER_LAYOUT=padded for the per-frame padded layout.
-    flat_layout = os.environ.get("BENCH_RASTER_LAYOUT", "flat") == "flat"
+    # Layout: "coo" (default) ships host-aggregated per-cell COO (one
+    # conflict-free scatter-set on device — half the lane-work of the
+    # raw-points scatters, and bit-stricter parity); "flat" packs the raw
+    # clouds into ONE buffer sized for the batch TOTAL (mean + headroom,
+    # 14336/frame); "padded" is the per-frame padded layout. Scatter is
+    # ~10 ns/lane regardless of content (PERF.md), so lane count is the
+    # only raster lever.
+    layout = os.environ.get("BENCH_RASTER_LAYOUT", "coo")
+    coo_layout = layout == "coo"
+    flat_layout = layout == "flat"
     flat_cap = int(os.environ.get("BENCH_FLAT_CAP", str(batch * 14336)))
     clouds = []
     pts_batch = np.zeros((batch, max_pts, 4), np.float32)
@@ -66,6 +70,16 @@ def main() -> None:
                   file=sys.stderr)
         pts_flat, fid_flat, msk_flat = bev_mod.pack_points_flat(
             clouds, flat_cap)
+    if coo_layout:
+        cells_l, keys_l = zip(*[bev_mod.aggregate_bev_cells(c)
+                                for c in clouds])
+        total_cells = sum(len(c) for c in cells_l)
+        if total_cells > flat_cap:
+            print(f"coo raster: capacity {flat_cap} truncates "
+                  f"{total_cells - flat_cap} of {total_cells} cells",
+                  file=sys.stderr)
+        cells_flat, ckeys_flat = bev_mod.pack_cells_flat(
+            list(cells_l), list(keys_l), flat_cap)
 
     raster_packed = os.environ.get("BENCH_RASTER", "packed") == "packed"
     # BENCH_DEFER_CONCAT=0 materializes multi-route concats (A/B the
@@ -80,7 +94,8 @@ def main() -> None:
             print(f"BENCH_DEFER_CONCAT={defer_env!r} unrecognized; "
                   "using default (on)", file=sys.stderr)
         defer_concat = True
-    print(f"defer_route_concat={defer_concat}", file=sys.stderr)
+    print(f"defer_route_concat={defer_concat} raster_layout={layout}",
+          file=sys.stderr)
     s2d_variant = os.environ.get("BENCH_S2D", "") or None
     # int8 PTQ is the default serving config: accuracy-gated on a trained
     # flagship checkpoint (PERF.md: int8 mAP 0.546 vs bf16 0.442 on the
@@ -124,7 +139,18 @@ def main() -> None:
                   "benchmarking bf16", file=sys.stderr)
             quant = None
 
-    if flat_layout:
+    if coo_layout:
+        @jax.jit
+        def pipeline(params, quant, cells, keys):
+            images = bev_mod.make_bev_map_from_cells(cells, keys, batch)
+            decoded, _ = net.apply(fspec, params, {}, images,
+                                   compute_dtype=jnp.bfloat16,
+                                   s2d_early=s2d_variant, quant=quant,
+                                   defer_route_concat=defer_concat)
+            return nms_batch(decoded, 0.5, 0.5, nms_k)
+
+        args = (jnp.asarray(cells_flat), jnp.asarray(ckeys_flat))
+    elif flat_layout:
         @jax.jit
         def pipeline(params, quant, points, fid, mask):
             images = bev_mod.make_bev_map_jax_flat(

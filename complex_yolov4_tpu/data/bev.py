@@ -205,6 +205,113 @@ def pack_points_flat(point_arrays, capacity: int):
     return points, frame_id, mask
 
 
+# --- COO (pre-aggregated cells) raster path -------------------------------
+#
+# The raw-points device raster above needs TWO conflict-resolving scatter
+# passes (count add + packed (z|intensity) max) over every live POINT lane,
+# and scatter costs ~10 ns/lane regardless of content (PERF.md). Host
+# pre-aggregation reduces that to ONE conflict-free scatter-set over the
+# OCCUPIED CELLS: the host walks the points once (it already does, in the
+# loader), resolves max-z/top-intensity/count per cell, and packs all three
+# channels into one int32 per cell:
+#
+#   bits [31:14] height  = round(z_max / 4m * (2^18-1))   (error <= 1.9e-6)
+#   bits [13: 8] count   = min(count, 63)                 (density EXACT: the
+#                          log curve saturates at 63 by definition)
+#   bits [ 7: 0] intensity = round(r_top * 255)           (exact for KITTI's
+#                          8-bit reflectances; <= 1/510 otherwise)
+#
+# Because the cell index (floor division) is computed on HOST numpy, this
+# path also eliminates the XLA reciprocal-multiply knife-edge cell shifts —
+# it is parity-wise STRICTER than the raw-points device raster.
+# Dead/padded lanes carry cell id = n_cells (the dump slot), so no mask
+# array crosses the link; H2D is 8 bytes per occupied cell.
+
+_HQ_MAX = (1 << 18) - 1  # 18-bit height quantizer
+_DENSITY_TABLE = np.minimum(
+    1.0, np.log(np.arange(64, dtype=np.float64) + 1.0) / _LOG64
+).astype(np.float32)  # f64 curve cast to f32: bit-identical to the host path
+
+
+def aggregate_bev_cells(points: np.ndarray,
+                        boundary: Optional[Dict[str, float]] = None,
+                        bev_size: int = cnf.BEV_HEIGHT
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Cropped/z-shifted (N, 4) points -> (cells (M,) int32, keys (M,) int32)
+    per occupied cell, aggregated with EXACTLY `make_bev_map`'s semantics
+    (max z; max intensity among points at the cell max; saturating count).
+    `bev_size` must match the downstream `pack_cells_flat` /
+    `make_bev_map_from_cells` calls (they share the bev_size+1 grid)."""
+    bc = boundary or cnf.BOUNDARY
+    grid = bev_size + 1
+    discretization = (bc["maxX"] - bc["minX"]) / bev_size
+    max_height = float(abs(bc["maxZ"] - bc["minZ"]))
+    ix = np.floor(points[:, 0] / np.float32(discretization)).astype(np.int64)
+    iy = (np.floor(points[:, 1] / np.float32(discretization))
+          + grid / 2).astype(np.int64)
+    cells = ix * grid + iy
+
+    n_cells = grid * grid
+    height = np.zeros(n_cells, np.float64)
+    np.maximum.at(height, cells, points[:, 2])
+    counts = np.bincount(cells, minlength=n_cells)
+    intensity = np.zeros(n_cells, np.float64)
+    is_top = points[:, 2] >= height[cells]
+    np.maximum.at(intensity, cells[is_top], points[is_top, 3])
+
+    occ = np.flatnonzero(counts)
+    hq = np.rint(np.clip(height[occ] / max_height, 0.0, 1.0) * _HQ_MAX
+                 ).astype(np.int64)
+    cq = np.minimum(counts[occ], 63).astype(np.int64)
+    rq = np.rint(np.clip(intensity[occ], 0.0, 1.0) * 255.0).astype(np.int64)
+    keys = ((hq << 14) | (cq << 8) | rq).astype(np.uint32).view(np.int32)
+    return occ.astype(np.int32), keys
+
+
+def pack_cells_flat(cell_arrays, key_arrays, capacity: int,
+                    bev_size: int = cnf.BEV_HEIGHT
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-frame (cells, keys) from `aggregate_bev_cells` -> one flat
+    (capacity,) int32 pair for `make_bev_map_from_cells`. Cell ids become
+    frame-global (fid * grid^2 + cell); unused lanes point at the dump slot
+    so the device needs no mask. Tail frames truncate past `capacity`
+    (same policy as `pack_points_flat`)."""
+    grid = bev_size + 1
+    n_cells_total = len(cell_arrays) * grid * grid
+    cells = np.full((capacity,), n_cells_total, np.int32)
+    keys = np.zeros((capacity,), np.int32)
+    at = 0
+    for fid, (c, k) in enumerate(zip(cell_arrays, key_arrays)):
+        n = min(c.shape[0], capacity - at)
+        cells[at:at + n] = c[:n] + fid * grid * grid
+        keys[at:at + n] = k[:n]
+        at += n
+        if at >= capacity:
+            break
+    return cells, keys
+
+
+@partial(jax.jit, static_argnames=("batch", "bev_size"))
+def make_bev_map_from_cells(cells: jnp.ndarray, keys: jnp.ndarray,
+                            batch: int, bev_size: int = cnf.BEV_HEIGHT
+                            ) -> jnp.ndarray:
+    """Device tail of the COO raster: flat (M,) frame-global cell ids +
+    (M,) packed cell keys -> (batch, S, S, 3). ONE conflict-free scatter
+    (host guarantees unique live cell ids; dead lanes hit the dump slot)."""
+    grid = bev_size + 1
+    n_cells = batch * grid * grid
+    buf = jnp.zeros((n_cells + 1,), jnp.int32).at[cells].set(
+        keys, mode="drop", unique_indices=True)
+    u = buf[:n_cells].astype(jnp.uint32).reshape(batch, grid, grid)
+    intensity = (u & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+    count = ((u >> 8) & 0x3F).astype(jnp.int32)
+    height = ((u >> 14).astype(jnp.float32)) * (1.0 / _HQ_MAX)
+    density = jnp.asarray(_DENSITY_TABLE)[count]
+    # key == 0 <=> empty cell (any occupied cell has count >= 1).
+    full = jnp.stack([intensity, height, density], axis=-1)
+    return full[:, :bev_size, :bev_size, :]
+
+
 def _bev_flat(points: jnp.ndarray, mask: jnp.ndarray, bev_size: int,
               packed: bool = False) -> jnp.ndarray:
     b = points.shape[0]

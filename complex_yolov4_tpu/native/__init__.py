@@ -47,6 +47,10 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int32]
     lib.cyv4_rasterize_batch.restype = ctypes.c_int32
+    lib.cyv4_aggregate_cells.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+    lib.cyv4_aggregate_cells.restype = ctypes.c_int64
     lib.cyv4_mosaic.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
@@ -75,6 +79,24 @@ def rasterize_points(points: np.ndarray) -> np.ndarray:
         ctypes.c_int64(pts.shape[0]),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
+
+
+def aggregate_cells(points: np.ndarray):
+    """(N, 4) float32 raw (uncropped) points -> (cells (M,) int32,
+    keys (M,) int32) COO for `bev.make_bev_map_from_cells`. Bit-identical to
+    `bev.aggregate_bev_cells(bev.remove_points_outside(points))`."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    pts = np.ascontiguousarray(points, np.float32)
+    cap = min(pts.shape[0], 609 * 609)
+    cells = np.empty((cap,), np.int32)
+    keys = np.empty((cap,), np.int32)
+    m = lib.cyv4_aggregate_cells(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(pts.shape[0]),
+        cells.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return cells[:m].copy(), keys[:m].copy()
 
 
 def mosaic_rasterize(points_list: List[np.ndarray], flips: List[bool],

@@ -116,6 +116,69 @@ inline void cell_value(const Cell& c, uint32_t stamp, float* px) {
   }
 }
 
+// COO aggregation for the device scatter-set raster (data/bev.py
+// aggregate_bev_cells): crop + z-shift + per-cell reduce, then emit one
+// int32 packed key per OCCUPIED cell —
+//   bits [31:14] round(height / 4 m * (2^18 - 1))
+//   bits [13: 8] min(count, 63)
+//   bits [ 7: 0] round(intensity * 255)
+// Cells come out sorted (numpy flatnonzero order) for test bit-parity.
+// Like scatter_points but records each first-touched cell id.
+int64_t aggregate_cells(const float* points, int64_t n, int32_t* out_cells,
+                        int32_t* out_keys) {
+  Cell* cells = tls_grid.begin_pass();
+  const uint32_t stamp = tls_grid.stamp;
+  std::vector<int32_t>& touched = [] () -> std::vector<int32_t>& {
+    thread_local std::vector<int32_t> v;
+    return v;
+  }();
+  touched.clear();
+  for (int64_t p = 0; p < n; ++p) {
+    const float x = points[p * 4 + 0];
+    const float y = points[p * 4 + 1];
+    const float z0 = points[p * 4 + 2];
+    const float r = points[p * 4 + 3];
+    if (x < kMinX || x > kMaxX || y < kMinY || y > kMaxY || z0 < kMinZ ||
+        z0 > kMaxZ) {
+      continue;
+    }
+    const float z = z0 - kMinZ;
+    const int ix = static_cast<int>(std::floor(x / kDisc));
+    const int iy = static_cast<int>(std::floor(y / kDisc) + kGrid / 2.0f);
+    if (ix < 0 || ix >= kGrid || iy < 0 || iy >= kGrid) continue;
+    const int32_t id = static_cast<int32_t>(ix) * kGrid + iy;
+    Cell& c = cells[id];
+    if (c.stamp != stamp) {
+      c = Cell{-1.0f, 0.0f, 0, stamp};
+      touched.push_back(id);
+    }
+    c.count += 1;
+    if (z > c.height) {
+      c.height = z;
+      c.intensity = r;
+    } else if (z == c.height) {
+      c.intensity = std::max(c.intensity, r);
+    }
+  }
+  std::sort(touched.begin(), touched.end());
+  constexpr double kHqMax = static_cast<double>((1 << 18) - 1);
+  for (size_t i = 0; i < touched.size(); ++i) {
+    const Cell& c = cells[touched[i]];
+    // double math mirrors the numpy (float64) quantizers bit-for-bit.
+    const double h = std::min(
+        1.0, std::max(0.0, static_cast<double>(c.height) /
+                               static_cast<double>(kMaxHeight)));
+    const double r = std::min(
+        1.0, std::max(0.0, static_cast<double>(c.intensity)));
+    const uint32_t hq = static_cast<uint32_t>(std::nearbyint(h * kHqMax));
+    const uint32_t cq = static_cast<uint32_t>(std::min(c.count, 63));
+    const uint32_t rq = static_cast<uint32_t>(std::nearbyint(r * 255.0));
+    out_cells[i] = touched[i];
+    out_keys[i] = static_cast<int32_t>((hq << 14) | (cq << 8) | rq);
+  }
+  return static_cast<int64_t>(touched.size());
+}
+
 // One fused pass: crop + z-shift + scatter. out is HWC (608, 608, 3) with
 // channels [top intensity, max height / 4 m, log64 density].
 void rasterize(const float* points, int64_t n, float* out) {
@@ -350,6 +413,14 @@ void cyv4_mosaic(const float* points, const int64_t* npts,
                  const int32_t* hole_counts, int32_t yc, int32_t xc,
                  float* out) {
   mosaic(points, npts, flips, holes, hole_counts, yc, xc, out);
+}
+
+// COO aggregation of one frame's raw points (crop inside): writes up to
+// min(n, 609*609) (cell id, packed key) pairs, returns the count M.
+// Device-side consumer: data/bev.py::make_bev_map_from_cells.
+int64_t cyv4_aggregate_cells(const float* points, int64_t n, int32_t* cells,
+                             int32_t* keys) {
+  return aggregate_cells(points, n, cells, keys);
 }
 
 int32_t cyv4_bev_size() { return kBev; }

@@ -163,6 +163,48 @@ def test_bev_jax_flat_matches_padded(scene):
     assert got[2].max() == 0.0
 
 
+def test_bev_coo_matches_host(scene):
+    """The COO raster (host per-cell aggregation + one device scatter-set,
+    bench default) must match the host raster within its packing budgets:
+    intensity 8-bit, height 18-bit, density EXACT — and with NO mismatched
+    cells at all (cell indices are computed on host, so the XLA
+    reciprocal-multiply knife-edge of the raw-points device path is gone)."""
+    points, _, _ = scene
+    rng = np.random.default_rng(7)
+    clouds = []
+    for b in range(3):
+        sub = points[rng.uniform(size=points.shape[0]) < (0.4 + 0.2 * b)]
+        clouds.append(bev.remove_points_outside(sub))
+    host = np.stack([bev.make_bev_map(c) for c in clouds])
+    cells_l, keys_l = zip(*[bev.aggregate_bev_cells(c) for c in clouds])
+    cap = sum(len(c) for c in cells_l) + 64
+    cells, keys = bev.pack_cells_flat(list(cells_l), list(keys_l), cap)
+    got = np.asarray(bev.make_bev_map_from_cells(cells, keys, 3))
+    err = np.abs(got - host)
+    assert err[..., 0].max() <= 1.0 / 510 + 1e-6  # intensity quantization
+    assert err[..., 1].max() <= 1.0 / ((1 << 18) - 1)  # height quantization
+    assert err[..., 2].max() == 0.0               # density bit-identical
+
+
+def test_bev_coo_truncation_and_8bit_exactness(scene):
+    """8-bit (KITTI-real) intensities survive the COO packing exactly;
+    truncating capacity drops tail frames but keeps earlier frames intact."""
+    points, _, _ = scene
+    points = points.copy()
+    points[:, 3] = np.round(np.clip(points[:, 3], 0, 1) * 255) / 255.0
+    c = bev.remove_points_outside(points)
+    host = bev.make_bev_map(c)
+    cells_a, keys_a = bev.aggregate_bev_cells(c)
+    cells, keys = bev.pack_cells_flat([cells_a, cells_a], [keys_a, keys_a],
+                                      len(cells_a) + 10)
+    got = np.asarray(bev.make_bev_map_from_cells(cells, keys, 2))
+    assert np.abs(got[0, ..., 0] - host[..., 0]).max() <= 1e-6
+    assert np.abs(got[0, ..., 1] - host[..., 1]).max() <= 1.0 / ((1 << 18) - 1)
+    np.testing.assert_array_equal(got[0, ..., 2], host[..., 2])
+    # frame 1 truncated to the 10 spare lanes: at most 10 occupied cells
+    assert (got[1].max(axis=-1) > 0).sum() <= 10
+
+
 def test_build_targets_encoding(scene):
     _, boxes, classes = scene
     labels = np.concatenate([classes[:, None].astype(np.float64), boxes], axis=1)

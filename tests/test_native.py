@@ -20,6 +20,18 @@ def test_native_matches_numpy_bitwise():
     np.testing.assert_array_equal(got, host)
 
 
+def test_native_coo_matches_numpy_bitwise():
+    """The C++ COO aggregator must equal data/bev.py::aggregate_bev_cells
+    exactly — same cell order, same packed keys (height/count/intensity
+    quantizers run in double in both)."""
+    for seed in (5, 11):
+        points, _, _ = synthetic.sample_scene(np.random.default_rng(seed))
+        c_np, k_np = bev.aggregate_bev_cells(bev.remove_points_outside(points))
+        c_cc, k_cc = native.aggregate_cells(points)
+        np.testing.assert_array_equal(c_cc, c_np)
+        np.testing.assert_array_equal(k_cc, k_np)
+
+
 def test_native_batch_files(tmp_path):
     root = synthetic.generate_kitti_dataset(
         str(tmp_path), num_train=3, num_val=1, num_test=1, seed=9)
