@@ -82,18 +82,19 @@ def main() -> None:
             list(cells_l), list(keys_l), flat_cap)
 
     raster_packed = os.environ.get("BENCH_RASTER", "packed") == "packed"
-    # BENCH_DEFER_CONCAT=0 materializes multi-route concats (A/B the
-    # weight-sliced-conv elimination, network.py::_PartsConcat). Only an
-    # explicit 0/false turns it off; unrecognized values warn and keep the
-    # default so a typo can't silently switch the benched config.
-    defer_env = os.environ.get("BENCH_DEFER_CONCAT", "1").strip().lower()
-    if defer_env in ("0", "false", "off", "no"):
-        defer_concat = False
-    else:
-        if defer_env not in ("1", "true", "on", "yes"):
-            print(f"BENCH_DEFER_CONCAT={defer_env!r} unrecognized; "
-                  "using default (on)", file=sys.stderr)
+    # BENCH_DEFER_CONCAT=1 runs the weight-sliced route-concat elimination
+    # (network.py::_PartsConcat) — measured 7% SLOWER e2e, default off
+    # (r3 reconcile sweep, PERF.md). Only explicit 1/true turns it on;
+    # unrecognized values warn and keep the default so a typo can't
+    # silently switch the benched config.
+    defer_env = os.environ.get("BENCH_DEFER_CONCAT", "0").strip().lower()
+    if defer_env in ("1", "true", "on", "yes"):
         defer_concat = True
+    else:
+        if defer_env not in ("0", "false", "off", "no"):
+            print(f"BENCH_DEFER_CONCAT={defer_env!r} unrecognized; "
+                  "using default (off)", file=sys.stderr)
+        defer_concat = False
     print(f"defer_route_concat={defer_concat} raster_layout={layout}",
           file=sys.stderr)
     s2d_variant = os.environ.get("BENCH_S2D", "") or None

@@ -198,7 +198,7 @@ def apply(
     s2d_early: Optional[str] = None,
     quant: Optional[Dict[str, Any]] = None,
     capture_act_max: bool = False,
-    defer_route_concat: bool = True,
+    defer_route_concat: bool = False,
 ):
     """Run the network.
 
@@ -270,6 +270,11 @@ def apply(
     # Multi-input routes whose sole consumer is the following 1x1 conv never
     # materialize: the conv runs weight-sliced over the parts (_PartsConcat).
     # Inference only; covers every CSP-transition / SPP / PAN concat.
+    # DEFAULT OFF: the roofline promised 1.68 ms/batch but the same-session
+    # on-chip A/B (scripts/r3_reconcile.sh, PERF.md round-3 log) measured the
+    # deferred path 7% SLOWER e2e in every quant config (int8 460 vs 495) —
+    # the weight-sliced part convs cost XLA more than the concat they avoid.
+    # Kept selectable for A/B and as the parity-tested building block.
     defer_routes: set = set()
     if not train and defer_route_concat:
         for r, lyr in enumerate(spec.layers[:-1]):

@@ -22,10 +22,13 @@ batch in the 128-wide lane dimension. The earlier Sutherland-Hodgman
 formulation kept (verts, 2) last and ran at 2/128 lane utilization — this
 layout is ~20x faster inside the fused inference program at NMS sizes.
 
-The GIoU enclosing hull uses Andrew's monotone chain over the 8 corner
-points with static loop bounds; hull *selection* is integer/gather work (no
-gradient, matching the reference's use of ConvexHull vertex indices only)
-while the area stays differentiable through the gathered coordinates.
+The GIoU enclosing hull uses a branch-free maximal-edge formulation over the
+8 corner points (`_hull_area_xy`): an edge is on the hull iff every point is
+left-of-or-collinear-within it, and summing cross products over qualifying
+directed edges yields the area with no sort, stack, or sequential loop.
+Hull *selection* is boolean predicate work (no gradient, matching the
+reference's use of ConvexHull vertex indices only) while the area stays
+differentiable through the coordinates.
 
 Everything jits once and runs entirely on device for loss, NMS, and eval.
 
@@ -181,63 +184,67 @@ def _intersection_area_xy(ax, ay, bx, by):
     return 0.5 * jnp.abs(area2)
 
 
-def _hull_area_8(pts: jnp.ndarray) -> jnp.ndarray:
-    """Convex-hull area of 8 points (Andrew monotone chain, static bounds).
+def _hull_area_xy(px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
+    """Convex-hull area of small point sets, branch-free and batch-last.
 
-    Hull membership is integer index work under stop_gradient (matching the
-    reference's ConvexHull-vertices-only usage,
-    src/utils/iou_rotated_boxes_utils.py:130-132); the shoelace over gathered
-    coordinates keeps the area differentiable w.r.t. the points.
+    px, py: (V, ...) points (V <= ~16); returns (...) hull areas.
+
+    Maximal-edge formulation (replaces the earlier monotone chain, whose
+    vmapped while-in-fori loops serialized per element on TPU — the same
+    lesson as the NMS gather rewrite): a directed edge (i, j) lies on the
+    CCW hull boundary iff every other point is strictly to its left OR
+    collinear and within the segment (so only the MAXIMAL collinear edge
+    qualifies, never its sub-segments), and neither endpoint is a duplicate
+    of an earlier point. Each hull edge then appears exactly once with CCW
+    orientation, so the origin-based shoelace over qualifying edges gives
+    2x the area with NO ordering step — the whole kernel is dense
+    elementwise (V, V, V, ...) work in the lane dimension.
+
+    Degenerate sets behave like the reference's ConvexHull usage folded
+    through the loss: all-collinear / all-duplicate inputs qualify both
+    edge directions, whose contributions cancel to area 0.
+
+    Hull membership is discrete (booleans under stop_gradient semantics —
+    comparisons carry no gradient), while the shoelace sum keeps the area
+    differentiable w.r.t. the points, matching the reference's
+    ConvexHull-vertices-only usage
+    (src/utils/iou_rotated_boxes_utils.py:130-132).
     """
-    n = pts.shape[0]
-    key = jax.lax.stop_gradient(pts)
-    order = jnp.lexsort((key[:, 1], key[:, 0]))
-    p = pts[order]
+    scale = jnp.max(jnp.abs(px), axis=0) + jnp.max(jnp.abs(py), axis=0) + 1.0
+    eps = _EPS * scale  # length-scaled; predicates only
+    eps2 = eps * scale
 
-    def cross(o, a, b):
-        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+    # Duplicate suppression: point i may start/end edges only if no earlier
+    # point i' < i coincides with it (keeps exactly one representative).
+    ddx = px[:, None] - px[None, :]  # (i, i', ...)
+    ddy = py[:, None] - py[None, :]
+    coincide = (jnp.abs(ddx) <= eps) & (jnp.abs(ddy) <= eps)
+    earlier = (jax.lax.broadcasted_iota(jnp.int32, coincide.shape, 1)
+               < jax.lax.broadcasted_iota(jnp.int32, coincide.shape, 0))
+    rep = ~jnp.any(coincide & earlier, axis=1)  # (V, ...)
 
-    def half_hull(points):
-        # stack of indices into `points`; k = stack size.
-        def body(i, carry):
-            stack, k = carry
+    ex = -ddx  # (i, j, ...): p_j - p_i
+    ey = -ddy
+    len2 = ex * ex + ey * ey
+    # cross/t of every point k against edge (i, j): (i, j, k, ...)
+    rx = -ddx[:, None]  # p_k - p_i laid out (i, 1, k, ...)
+    ry = -ddy[:, None]
+    cross = rx * ey[:, :, None] - ry * ex[:, :, None]
+    t = rx * ex[:, :, None] + ry * ey[:, :, None]
+    # cross and t carry units length^2 -> tolerance eps2 = _EPS * scale^2.
+    ok = (cross > eps2) | (
+        (jnp.abs(cross) <= eps2) & (t >= -eps2) & (t <= len2[:, :, None] + eps2))
+    edge = (jnp.all(ok, axis=2) & (len2 > eps2)
+            & rep[:, None] & rep[None, :])  # (i, j, ...)
 
-            def pop(c):
-                s, kk = c
-                return s, kk - 1
+    area2 = jnp.sum((px[:, None] * py[None, :] - px[None, :] * py[:, None])
+                    * edge.astype(px.dtype), axis=(0, 1))
+    return 0.5 * jnp.abs(area2)
 
-            def cond_fn(c):
-                s, kk = c
-                o = points[s[jnp.maximum(kk - 2, 0)]]
-                a = points[s[jnp.maximum(kk - 1, 0)]]
-                return (kk >= 2) & (cross(o, a, points[i]) <= 0)
 
-            stack, k = jax.lax.while_loop(cond_fn, pop, (stack, k))
-            stack = stack.at[k].set(i)
-            return stack, k + 1
-
-        init = (jnp.zeros((n,), jnp.int32), jnp.asarray(0, jnp.int32))
-        stack, k = jax.lax.fori_loop(0, n, body, init)
-        return stack, k
-
-    lo_stack, lo_k = half_hull(jax.lax.stop_gradient(p))
-    hi_stack, hi_k = half_hull(jax.lax.stop_gradient(p[::-1]))
-
-    # Concatenate lower hull (minus last point) and upper hull (minus last
-    # point) into one ring of <= 2n-2 slots; mask the rest.
-    cap = 2 * n
-    slots = jnp.arange(cap)
-    lo_n = lo_k - 1
-    hi_n = hi_k - 1
-    total = lo_n + hi_n
-    from_hi = slots >= lo_n
-    gather_lo = jnp.clip(slots, 0, n - 1)
-    gather_hi = jnp.clip(slots - lo_n, 0, n - 1)
-    idx = jnp.where(from_hi, (n - 1) - hi_stack[gather_hi], lo_stack[gather_lo])
-    ring = p[jnp.clip(idx, 0, n - 1)]
-    mask = (slots < total).astype(pts.dtype)
-    # Degenerate safety: all-collinear inputs give total < 3 -> area 0.
-    return shoelace_area(ring, mask)
+def _hull_area_8(pts: jnp.ndarray) -> jnp.ndarray:
+    """Convex-hull area of (8, 2) points (single set; see `_hull_area_xy`)."""
+    return _hull_area_xy(pts[:, 0], pts[:, 1])
 
 
 def intersection_area(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
@@ -262,11 +269,10 @@ def rotated_giou(boxes1: jnp.ndarray, boxes2: jnp.ndarray):
     (semantics of reference src/utils/iou_rotated_boxes_utils.py:98-142).
     """
     inter = intersection_area(boxes1, boxes2)
-    flat1 = box_corners(boxes1).reshape(-1, 4, 2)
-    flat2 = box_corners(boxes2).reshape(-1, 4, 2)
-    hull = jax.vmap(_hull_area_8)(
-        jnp.concatenate([flat1, flat2], axis=1)
-    ).reshape(boxes1.shape[:-1])
+    ax, ay = _corners_xy(boxes1)
+    bx, by = _corners_xy(boxes2)
+    hull = _hull_area_xy(jnp.concatenate([ax, bx], axis=0),
+                         jnp.concatenate([ay, by], axis=0))
     a1 = boxes1[..., 2] * boxes1[..., 3]
     a2 = boxes2[..., 2] * boxes2[..., 3]
     union = jnp.maximum(a1 + a2 - inter, _EPS)

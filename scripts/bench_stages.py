@@ -41,6 +41,7 @@ def main() -> None:
     ap.add_argument("--quant", default="int8", choices=["int8", "none"])
     ap.add_argument("--nms_k", type=int, default=128)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--layout", default="coo", choices=["coo", "flat"])
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
 
@@ -72,6 +73,18 @@ def main() -> None:
     points = jnp.asarray(pf)
     fid = jnp.asarray(ff)
     mask = jnp.asarray(mf)
+    if args.layout == "coo":
+        cl, kl = zip(*[bev_mod.aggregate_bev_cells(c) for c in clouds])
+        cc, kk = bev_mod.pack_cells_flat(list(cl), list(kl), flat_cap)
+        cells, keys = jnp.asarray(cc), jnp.asarray(kk)
+
+        def raster(*a):
+            return bev_mod.make_bev_map_from_cells(a[0], a[1], batch)
+        raster_args = (cells, keys)
+    else:
+        def raster(*a):
+            return bev_mod.make_bev_map_jax_flat(a[0], a[1], a[2], batch)
+        raster_args = (points, fid, mask)
 
     quant = None
     if args.quant == "int8":
@@ -86,29 +99,29 @@ def main() -> None:
     fparams = jax.device_put(fparams)
 
     @jax.jit
-    def raster_only(points, fid, mask):
-        return jnp.sum(bev_mod.make_bev_map_jax_flat(points, fid, mask, batch),
-                       axis=(1, 2, 3))  # reduce so nothing is elided
+    def raster_only(*rargs):
+        return jnp.sum(raster(*rargs), axis=(1, 2, 3))  # reduce: nothing elided
 
     @jax.jit
-    def raster_fwd(params, quant, points, fid, mask):
-        images = bev_mod.make_bev_map_jax_flat(points, fid, mask, batch)
+    def raster_fwd(params, quant, *rargs):
+        images = raster(*rargs)
         decoded, _ = net.apply(fspec, params, {}, images,
                                compute_dtype=jnp.bfloat16, quant=quant)
         return jnp.sum(decoded, axis=(1, 2))
 
     @jax.jit
-    def full(params, quant, points, fid, mask):
-        images = bev_mod.make_bev_map_jax_flat(points, fid, mask, batch)
+    def full(params, quant, *rargs):
+        images = raster(*rargs)
         decoded, _ = net.apply(fspec, params, {}, images,
                                compute_dtype=jnp.bfloat16, quant=quant)
         return nms_batch(decoded, 0.5, 0.5, args.nms_k)
 
-    t_r = timed(raster_only, (points, fid, mask), args.iters)
-    t_rf = timed(raster_fwd, (fparams, quant, points, fid, mask), args.iters)
-    t_all = timed(full, (fparams, quant, points, fid, mask), args.iters)
+    t_r = timed(raster_only, raster_args, args.iters)
+    t_rf = timed(raster_fwd, (fparams, quant) + raster_args, args.iters)
+    t_all = timed(full, (fparams, quant) + raster_args, args.iters)
 
-    print(f"config: quant={args.quant} nms_k={args.nms_k} batch={batch}")
+    print(f"config: quant={args.quant} nms_k={args.nms_k} batch={batch} "
+          f"layout={args.layout}")
     print(f"raster-only:        {t_r * 1e3:7.2f} ms/batch")
     print(f"raster+forward:     {t_rf * 1e3:7.2f} ms/batch "
           f"(forward ~ {(t_rf - t_r) * 1e3:.2f})")

@@ -165,7 +165,7 @@ def test_deferred_route_concat_matches_materialized():
             defer_route_concat=False))(params, state, x)
         got, _ = jax.jit(lambda p, s, xx: net.apply(
             spec, p, s, xx, compute_dtype=jnp.float32,
-            use_pallas_conv=False))(params, state, x)
+            use_pallas_conv=False, defer_route_concat=True))(params, state, x)
         assert bool(jnp.allclose(base, got, atol=1e-4, rtol=1e-4)), name
 
     # quant path: deferred split must be exact vs the materialized int8 conv
@@ -181,7 +181,7 @@ def test_deferred_route_concat_matches_materialized():
         quant=q, defer_route_concat=False))(fparams, quant, x)
     got, _ = jax.jit(lambda p, q, xx: net.apply(
         fspec, p, {}, xx, compute_dtype=jnp.float32, use_pallas_conv=False,
-        quant=q))(fparams, quant, x)
+        quant=q, defer_route_concat=True))(fparams, quant, x)
     np.testing.assert_allclose(np.asarray(base), np.asarray(got),
                                atol=1e-5, rtol=1e-5)
 

@@ -129,6 +129,28 @@ def test_hull_area_vs_scipy():
         assert got[i] == pytest.approx(ref, rel=1e-4), f"case {i}"
 
 
+def test_hull_area_degenerate_sets():
+    """Maximal-edge hull: duplicates collapse to one representative,
+    collinear sets cancel to zero area, and coincident-corner unions
+    (degenerate padded boxes) stay exact."""
+    sq = np.array([[0, 0], [2, 0], [2, 2], [0, 2]], np.float32)
+    # all 8 points = square corners duplicated -> area 4
+    pts = np.concatenate([sq, sq], axis=0)
+    assert float(rb._hull_area_8(jnp.asarray(pts))) == pytest.approx(4.0, abs=1e-5)
+    # degenerate box (w=l=0): 4 identical corners + square -> still 4
+    dup = np.tile(np.array([[1.0, 1.0]], np.float32), (4, 1))
+    pts = np.concatenate([sq, dup], axis=0)
+    assert float(rb._hull_area_8(jnp.asarray(pts))) == pytest.approx(4.0, abs=1e-5)
+    # all points on one line -> area 0
+    line = np.stack([np.linspace(0, 7, 8), np.linspace(0, 14, 8)],
+                    axis=1).astype(np.float32)
+    assert float(rb._hull_area_8(jnp.asarray(line))) == pytest.approx(0.0, abs=1e-5)
+    # collinear midpoint on a hull edge must not double-count
+    tri = np.array([[0, 0], [4, 0], [2, 0], [2, 3]], np.float32)
+    pts = np.concatenate([tri, tri], axis=0)
+    assert float(rb._hull_area_8(jnp.asarray(pts))) == pytest.approx(6.0, abs=1e-4)
+
+
 def test_giou_bounds_and_degenerate():
     rng = np.random.RandomState(5)
     b1, b2 = rand_boxes(rng, 40), rand_boxes(rng, 40)
