@@ -43,14 +43,14 @@ def main() -> None:
     # Static point capacity: KITTI front-boundary crops peak around 20k
     # points; scatter cost scales with capacity, so don't over-pad.
     max_pts = int(os.environ.get("BENCH_MAX_POINTS", "20480"))
-    # Layout: "coo" (default) ships host-aggregated per-cell COO (one
-    # conflict-free scatter-set on device — half the lane-work of the
-    # raw-points scatters, and bit-stricter parity); "flat" packs the raw
-    # clouds into ONE buffer sized for the batch TOTAL (mean + headroom,
-    # 14336/frame); "padded" is the per-frame padded layout. Scatter is
-    # ~10 ns/lane regardless of content (PERF.md), so lane count is the
-    # only raster lever.
-    layout = os.environ.get("BENCH_RASTER_LAYOUT", "coo")
+    # Layout: "flat" (default) packs the raw clouds into ONE buffer sized
+    # for the batch TOTAL (mean + headroom, 14336/frame); "coo" ships
+    # host-aggregated per-cell COO (two conflict-free scatter-sets over
+    # occupied-cell lanes, bit-stricter parity); "padded" is the per-frame
+    # padded layout. Scatter is ~10 ns/lane regardless of content (PERF.md),
+    # so lane count is the only raster lever; the A/B deciding the default
+    # is in PERF.md's round-3 log.
+    layout = os.environ.get("BENCH_RASTER_LAYOUT", "flat")
     coo_layout = layout == "coo"
     flat_layout = layout == "flat"
     flat_cap = int(os.environ.get("BENCH_FLAT_CAP", str(batch * 14336)))
@@ -78,7 +78,7 @@ def main() -> None:
             print(f"coo raster: capacity {flat_cap} truncates "
                   f"{total_cells - flat_cap} of {total_cells} cells",
                   file=sys.stderr)
-        cells_flat, ckeys_flat = bev_mod.pack_cells_flat(
+        cells_flat, ckeys_flat, cdens_flat = bev_mod.pack_cells_flat(
             list(cells_l), list(keys_l), flat_cap)
 
     raster_packed = os.environ.get("BENCH_RASTER", "packed") == "packed"
@@ -142,15 +142,16 @@ def main() -> None:
 
     if coo_layout:
         @jax.jit
-        def pipeline(params, quant, cells, keys):
-            images = bev_mod.make_bev_map_from_cells(cells, keys, batch)
+        def pipeline(params, quant, cells, keys, dens):
+            images = bev_mod.make_bev_map_from_cells(cells, keys, dens, batch)
             decoded, _ = net.apply(fspec, params, {}, images,
                                    compute_dtype=jnp.bfloat16,
                                    s2d_early=s2d_variant, quant=quant,
                                    defer_route_concat=defer_concat)
             return nms_batch(decoded, 0.5, 0.5, nms_k)
 
-        args = (jnp.asarray(cells_flat), jnp.asarray(ckeys_flat))
+        args = (jnp.asarray(cells_flat), jnp.asarray(ckeys_flat),
+                jnp.asarray(cdens_flat))
     elif flat_layout:
         @jax.jit
         def pipeline(params, quant, points, fid, mask):
@@ -176,6 +177,11 @@ def main() -> None:
             return nms_batch(decoded, 0.5, 0.5, nms_k)
 
         args = (jnp.asarray(pts_batch), jnp.asarray(msk_batch))
+    # Pre-cast kernels/biases to bf16 (numerically identical — apply casts
+    # them in-graph anyway; this halves weight HBM reads). BENCH_CAST_W=0
+    # restores the in-graph cast for A/B.
+    if os.environ.get("BENCH_CAST_W", "1") != "0":
+        fparams = net.cast_conv_params(fparams)
     fparams = jax.device_put(fparams)
 
     for _ in range(warmup):

@@ -268,14 +268,28 @@ def aggregate_bev_cells(points: np.ndarray,
     return occ.astype(np.int32), keys
 
 
+def density_from_keys(keys: np.ndarray) -> np.ndarray:
+    """Packed cell keys -> exact f32 density channel values (host side).
+
+    The density is a pure function of the 6-bit saturating count packed in
+    the key, but evaluating it ON DEVICE means a table gather (or a log) over
+    every cell of the batch grid — batch 16 x 609^2 = 5.9M lanes at XLA's
+    ~10 ns/gather-lane measured 47 ms/batch, 6x the whole point-scatter
+    raster (r3 batch-2 sweep, stages_coo). Host-side it's a 64-entry lookup
+    over only the OCCUPIED cells, bit-identical to `make_bev_map`'s f64
+    curve, and ships as one extra f32 per cell."""
+    cq = (keys.view(np.uint32) >> 8) & 0x3F
+    return _DENSITY_TABLE[cq]
+
+
 def pack_cells_flat(cell_arrays, key_arrays, capacity: int,
                     bev_size: int = cnf.BEV_HEIGHT
-                    ) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-frame (cells, keys) from `aggregate_bev_cells` -> one flat
-    (capacity,) int32 pair for `make_bev_map_from_cells`. Cell ids become
-    frame-global (fid * grid^2 + cell); unused lanes point at the dump slot
-    so the device needs no mask. Tail frames truncate past `capacity`
-    (same policy as `pack_points_flat`)."""
+                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-frame (cells, keys) from `aggregate_bev_cells` -> flat (capacity,)
+    (cells int32, keys int32, density f32) for `make_bev_map_from_cells`.
+    Cell ids become frame-global (fid * grid^2 + cell); unused lanes point at
+    the dump slot so the device needs no mask. Tail frames truncate past
+    `capacity` (same policy as `pack_points_flat`)."""
     grid = bev_size + 1
     n_cells_total = len(cell_arrays) * grid * grid
     cells = np.full((capacity,), n_cells_total, np.int32)
@@ -288,25 +302,29 @@ def pack_cells_flat(cell_arrays, key_arrays, capacity: int,
         at += n
         if at >= capacity:
             break
-    return cells, keys
+    return cells, keys, density_from_keys(keys)
 
 
 @partial(jax.jit, static_argnames=("batch", "bev_size"))
 def make_bev_map_from_cells(cells: jnp.ndarray, keys: jnp.ndarray,
-                            batch: int, bev_size: int = cnf.BEV_HEIGHT
-                            ) -> jnp.ndarray:
+                            dens: jnp.ndarray, batch: int,
+                            bev_size: int = cnf.BEV_HEIGHT) -> jnp.ndarray:
     """Device tail of the COO raster: flat (M,) frame-global cell ids +
-    (M,) packed cell keys -> (batch, S, S, 3). ONE conflict-free scatter
-    (host guarantees unique live cell ids; dead lanes hit the dump slot)."""
+    (M,) packed cell keys + (M,) host-computed density -> (batch, S, S, 3).
+    Two conflict-free scatters over occupied-cell lanes only (host
+    guarantees unique live cell ids; dead lanes hit the dump slot); the rest
+    is elementwise unpacking. No per-grid-cell gather — see
+    `density_from_keys` for why density arrives precomputed."""
     grid = bev_size + 1
     n_cells = batch * grid * grid
     buf = jnp.zeros((n_cells + 1,), jnp.int32).at[cells].set(
         keys, mode="drop", unique_indices=True)
+    dbuf = jnp.zeros((n_cells + 1,), jnp.float32).at[cells].set(
+        dens, mode="drop", unique_indices=True)
     u = buf[:n_cells].astype(jnp.uint32).reshape(batch, grid, grid)
     intensity = (u & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
-    count = ((u >> 8) & 0x3F).astype(jnp.int32)
     height = ((u >> 14).astype(jnp.float32)) * (1.0 / _HQ_MAX)
-    density = jnp.asarray(_DENSITY_TABLE)[count]
+    density = dbuf[:n_cells].reshape(batch, grid, grid)
     # key == 0 <=> empty cell (any occupied cell has count >= 1).
     full = jnp.stack([intensity, height, density], axis=-1)
     return full[:, :bev_size, :bev_size, :]

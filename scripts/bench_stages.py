@@ -75,12 +75,12 @@ def main() -> None:
     mask = jnp.asarray(mf)
     if args.layout == "coo":
         cl, kl = zip(*[bev_mod.aggregate_bev_cells(c) for c in clouds])
-        cc, kk = bev_mod.pack_cells_flat(list(cl), list(kl), flat_cap)
-        cells, keys = jnp.asarray(cc), jnp.asarray(kk)
+        cc, kk, dd = bev_mod.pack_cells_flat(list(cl), list(kl), flat_cap)
+        cells, keys, dens = jnp.asarray(cc), jnp.asarray(kk), jnp.asarray(dd)
 
         def raster(*a):
-            return bev_mod.make_bev_map_from_cells(a[0], a[1], batch)
-        raster_args = (cells, keys)
+            return bev_mod.make_bev_map_from_cells(a[0], a[1], a[2], batch)
+        raster_args = (cells, keys, dens)
     else:
         def raster(*a):
             return bev_mod.make_bev_map_jax_flat(a[0], a[1], a[2], batch)

@@ -164,11 +164,13 @@ def test_bev_jax_flat_matches_padded(scene):
 
 
 def test_bev_coo_matches_host(scene):
-    """The COO raster (host per-cell aggregation + one device scatter-set,
-    bench default) must match the host raster within its packing budgets:
-    intensity 8-bit, height 18-bit, density EXACT — and with NO mismatched
-    cells at all (cell indices are computed on host, so the XLA
-    reciprocal-multiply knife-edge of the raw-points device path is gone)."""
+    """The COO raster (host per-cell aggregation + two device scatter-sets)
+    must match the host raster within its packing budgets: intensity 8-bit,
+    height 18-bit, density EXACT (computed on host from the packed count —
+    a per-grid-cell table gather on device measured 47 ms/batch, PERF.md) —
+    and with NO mismatched cells at all (cell indices are computed on host,
+    so the XLA reciprocal-multiply knife-edge of the raw-points device path
+    is gone)."""
     points, _, _ = scene
     rng = np.random.default_rng(7)
     clouds = []
@@ -178,8 +180,8 @@ def test_bev_coo_matches_host(scene):
     host = np.stack([bev.make_bev_map(c) for c in clouds])
     cells_l, keys_l = zip(*[bev.aggregate_bev_cells(c) for c in clouds])
     cap = sum(len(c) for c in cells_l) + 64
-    cells, keys = bev.pack_cells_flat(list(cells_l), list(keys_l), cap)
-    got = np.asarray(bev.make_bev_map_from_cells(cells, keys, 3))
+    cells, keys, dens = bev.pack_cells_flat(list(cells_l), list(keys_l), cap)
+    got = np.asarray(bev.make_bev_map_from_cells(cells, keys, dens, 3))
     err = np.abs(got - host)
     assert err[..., 0].max() <= 1.0 / 510 + 1e-6  # intensity quantization
     assert err[..., 1].max() <= 1.0 / ((1 << 18) - 1)  # height quantization
@@ -195,9 +197,10 @@ def test_bev_coo_truncation_and_8bit_exactness(scene):
     c = bev.remove_points_outside(points)
     host = bev.make_bev_map(c)
     cells_a, keys_a = bev.aggregate_bev_cells(c)
-    cells, keys = bev.pack_cells_flat([cells_a, cells_a], [keys_a, keys_a],
-                                      len(cells_a) + 10)
-    got = np.asarray(bev.make_bev_map_from_cells(cells, keys, 2))
+    cells, keys, dens = bev.pack_cells_flat([cells_a, cells_a],
+                                            [keys_a, keys_a],
+                                            len(cells_a) + 10)
+    got = np.asarray(bev.make_bev_map_from_cells(cells, keys, dens, 2))
     assert np.abs(got[0, ..., 0] - host[..., 0]).max() <= 1e-6
     assert np.abs(got[0, ..., 1] - host[..., 1]).max() <= 1.0 / ((1 << 18) - 1)
     np.testing.assert_array_equal(got[0, ..., 2], host[..., 2])
