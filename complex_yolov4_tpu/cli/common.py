@@ -103,6 +103,10 @@ def maybe_quantize(spec, params, state, config, loader):
     (models/quantize.py). Returns (spec, params, state, quant); identity with
     quant=None when quantization is off."""
     if getattr(config, "quantize", "none") != "int8":
+        if compute_dtype_of(config) == jnp.bfloat16:
+            # Pre-cast kernels to the serving dtype (numerically identical —
+            # apply() casts in-graph anyway; halves weight HBM reads).
+            params = net.cast_conv_params(params)
         return spec, params, state, None
     import numpy as np
 
@@ -122,4 +126,6 @@ def maybe_quantize(spec, params, state, config, loader):
     print(f"PTQ int8: {len(quant)} of "
           f"{sum(1 for k in fparams)} convs quantized "
           f"({len(calib)} calibration batches)")
+    if compute_dtype_of(config) == jnp.bfloat16:
+        fparams = net.cast_conv_params(fparams)  # after calibration (f32 in)
     return fspec, fparams, {}, quant

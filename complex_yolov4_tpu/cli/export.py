@@ -35,7 +35,7 @@ def export_stablehlo(spec, params, state, output: str, *, batch: int,
                      max_points: int = 20480) -> None:
     from jax import export as jexport
 
-    fparams = net.fold_batchnorm(spec, params, state)
+    fparams = net.cast_conv_params(net.fold_batchnorm(spec, params, state))
     fspec = net.fold_spec(spec)
 
     def forward(params, images):

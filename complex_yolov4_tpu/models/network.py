@@ -26,6 +26,7 @@ import numpy as np
 
 from ..ops import fused_stage as fused_mod
 from ..ops import pallas_conv
+from . import bn_train as bn_train_mod
 from . import s2d as s2d_mod
 from .spec import ConvSpec, MaxPoolSpec, NetSpec, RouteSpec, ShortcutSpec, UpsampleSpec, YoloSpec
 from .yolo_head import decode_head
@@ -35,6 +36,7 @@ State = Dict[str, Any]
 
 BN_EPS = 1e-5       # torch BatchNorm2d default, kept for weight-import parity
 BN_MOMENTUM = 0.1   # torch convention: new = (1 - m) * old + m * batch
+assert bn_train_mod.BN_EPS == BN_EPS  # the custom-VJP BN must share the eps
 
 
 def _act(x: jnp.ndarray, kind: str) -> jnp.ndarray:
@@ -459,10 +461,23 @@ def apply(
             if not train:
                 h = h.astype(compute_dtype)
             if layer.batch_normalize:
+                normalized = False
                 if train:
-                    h = h.astype(jnp.float32)  # f32 batch stats + epilogue
-                    mean = jnp.mean(h, axis=(0, 1, 2))
-                    var = jnp.var(h, axis=(0, 1, 2))
+                    if h.dtype == jnp.bfloat16:
+                        # bf16-residual custom-VJP BN (models/bn_train.py):
+                        # same f32 batch statistics, exact gradient through
+                        # them, but the backward stores the bf16 conv output
+                        # instead of its f32 cast — the measured backward ran
+                        # 3x the forward and this residual traffic is the
+                        # gap (PERF.md r3 batch-2 breakdown). f32 training
+                        # keeps the plain autodiff path (reference parity).
+                        h, mean, var = bn_train_mod.bn_train(
+                            h, p["bn_scale"], p["bn_bias"])
+                        normalized = True
+                    else:
+                        h = h.astype(jnp.float32)  # f32 batch stats + epilogue
+                        mean = jnp.mean(h, axis=(0, 1, 2))
+                        var = jnp.var(h, axis=(0, 1, 2))
                     n = h.shape[0] * h.shape[1] * h.shape[2]
                     unbiased = var * (n / max(n - 1, 1))
                     old = state[f"layer{i}"]
@@ -473,8 +488,9 @@ def apply(
                 else:
                     st = state[f"layer{i}"]
                     mean, var = st["mean"], st["var"]
-                inv = jax.lax.rsqrt(var + BN_EPS) * p["bn_scale"]
-                h = h * inv.astype(h.dtype) + (p["bn_bias"] - mean * inv).astype(h.dtype)
+                if not normalized:
+                    inv = jax.lax.rsqrt(var + BN_EPS) * p["bn_scale"]
+                    h = h * inv.astype(h.dtype) + (p["bn_bias"] - mean * inv).astype(h.dtype)
             else:
                 h = h + p["b"].astype(h.dtype)
             h = _act(h, layer.activation)
@@ -553,6 +569,23 @@ def fold_batchnorm(spec: NetSpec, params: Params, state: State) -> Params:
         else:
             folded[key] = dict(p)
     return folded
+
+
+def cast_conv_params(params: Params, dtype=jnp.bfloat16) -> Params:
+    """Pre-cast folded conv weights/biases to the serving compute dtype.
+
+    `apply` casts every kernel to the compute dtype inside the graph anyway
+    (`_conv`), so serving from pre-cast params is numerically IDENTICAL —
+    but it halves the weight bytes read from HBM per step (f32 -> bf16,
+    ~256 MB -> 128 MB for the flagship) and deletes the per-call convert
+    kernels. Serving only: checkpoints and training stay f32. Only 'w'/'b'
+    leaves are cast; BN leaves (unfolded params) stay f32 because
+    rsqrt(var + eps) must run in f32 for parity."""
+    return {
+        k: {kk: (v.astype(dtype) if kk in ("w", "b") else v)
+            for kk, v in p.items()}
+        for k, p in params.items()
+    }
 
 
 def fold_spec(spec: NetSpec) -> NetSpec:

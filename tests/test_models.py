@@ -228,3 +228,25 @@ def test_int8_quantized_forward():
     for kk, fv in am_f.items():
         fv, qv = float(fv), float(am_q[kk])
         assert abs(fv - qv) <= 0.03 * max(fv, 1e-3), (kk, fv, qv)
+
+
+def test_cast_conv_params_is_bit_identical():
+    """Serving from bf16 pre-cast folded params must equal serving from f32
+    params under compute_dtype=bf16 EXACTLY — apply() casts kernels in-graph
+    either way; the pre-cast only moves the cast out of the hot loop
+    (network.cast_conv_params, the bench/serving default)."""
+    import numpy as np
+
+    spec = get_model_spec("complex_yolov4_tiny", width=128, height=128)
+    params, state = net.init_params(spec, jax.random.PRNGKey(0))
+    fparams = net.fold_batchnorm(spec, params, state)
+    fspec = net.fold_spec(spec)
+    cparams = net.cast_conv_params(fparams)
+    assert all(v.dtype == jnp.bfloat16
+               for p in cparams.values() for v in p.values())
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 128, 128, 3))
+    run = jax.jit(lambda p, xx: net.apply(
+        fspec, p, {}, xx, compute_dtype=jnp.bfloat16, use_pallas_conv=False)[0])
+    a = np.asarray(run(fparams, x), np.float32)
+    b = np.asarray(run(cparams, x), np.float32)
+    np.testing.assert_array_equal(a, b)

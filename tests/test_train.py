@@ -71,6 +71,34 @@ def test_train_step_updates_params_and_decreases_loss():
     assert losses[-1] < losses[0]  # overfits a fixed batch quickly
 
 
+def test_train_step_bf16_custom_bn_learns():
+    """The production bf16 train step routes BatchNorm through the
+    bf16-residual custom VJP (models/bn_train.py, network.apply train
+    branch): it must stay finite, actually learn on a fixed batch, and
+    track the f32 step's loss closely at init (same math, bf16 rounding)."""
+    spec, state, _, batch = _tiny_setup()
+    tx = T.create_optimizer(state.params, optimizer_type="sgd")
+    step16 = T.make_train_step(spec, tx, compute_dtype=jnp.bfloat16)
+    step32 = T.make_train_step(spec, tx, compute_dtype=jnp.float32)
+    # the step donates its state: give the f32 arm its own buffer copies
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)  # noqa: E731
+    _, m32 = step32(
+        T.TrainState.create(copy(state.params), copy(state.bn_state), tx),
+        batch, jnp.float32(1e-3))
+    losses = []
+    st = T.TrainState.create(state.params, state.bn_state, tx)
+    for _ in range(8):
+        st, m = step16(st, batch, jnp.float32(1e-3))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # step-1 loss: bf16 vs f32 forward on the same init (loose: bf16 convs)
+    assert abs(losses[0] - float(m32["loss"])) / float(m32["loss"]) < 0.05
+    # BN running stats moved and stayed finite
+    flat = jax.tree_util.tree_leaves(st.bn_state)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
+
+
 def test_metrics_cond_step_matches_full():
     """metrics_cond step: want_metrics=True reproduces the always-metrics
     step exactly; want_metrics=False yields identical loss/params with the
