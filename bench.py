@@ -43,14 +43,15 @@ def main() -> None:
     # Static point capacity: KITTI front-boundary crops peak around 20k
     # points; scatter cost scales with capacity, so don't over-pad.
     max_pts = int(os.environ.get("BENCH_MAX_POINTS", "20480"))
-    # Layout: "flat" (default) packs the raw clouds into ONE buffer sized
-    # for the batch TOTAL (mean + headroom, 14336/frame); "coo" ships
-    # host-aggregated per-cell COO (two conflict-free scatter-sets over
-    # occupied-cell lanes, bit-stricter parity); "padded" is the per-frame
-    # padded layout. Scatter is ~10 ns/lane regardless of content (PERF.md),
-    # so lane count is the only raster lever; the A/B deciding the default
-    # is in PERF.md's round-3 log.
-    layout = os.environ.get("BENCH_RASTER_LAYOUT", "flat")
+    # Layout: "coo" (default) ships host-aggregated per-cell COO — two
+    # conflict-free scatter-sets over occupied-cell lanes only, density
+    # precomputed on host (bit-stricter parity than the raw-point paths);
+    # measured 513-518 f/s vs "flat" 489-497 (r3 batch-3 A/B, PERF.md).
+    # "flat" packs the raw clouds into ONE buffer sized for the batch TOTAL
+    # (mean + headroom, 14336/frame); "padded" is the per-frame padded
+    # layout. Scatter is ~10 ns/lane regardless of content (PERF.md), so
+    # lane count is the only raster lever.
+    layout = os.environ.get("BENCH_RASTER_LAYOUT", "coo")
     coo_layout = layout == "coo"
     flat_layout = layout == "flat"
     flat_cap = int(os.environ.get("BENCH_FLAT_CAP", str(batch * 14336)))
@@ -74,12 +75,25 @@ def main() -> None:
         cells_l, keys_l = zip(*[bev_mod.aggregate_bev_cells(c)
                                 for c in clouds])
         total_cells = sum(len(c) for c in cells_l)
-        if total_cells > flat_cap:
-            print(f"coo raster: capacity {flat_cap} truncates "
-                  f"{total_cells - flat_cap} of {total_cells} cells",
+        # Scatter cost scales with lane CAPACITY, not live lanes. The
+        # synthetic scenes yield ~12.6k cells/frame (points rarely share
+        # cells), so aggregation barely shrinks the lane count there —
+        # capacity is whichever is smaller of cells+headroom and the
+        # raw-point cap (real clustered LiDAR has far fewer cells and wins
+        # more). COO still beats flat at EQUAL lanes: conflict-free
+        # scatter-SETs vs the raw path's conflict-resolving add/max
+        # (r3 batch-3/4, PERF.md).
+        coo_cap = int(os.environ.get(
+            "BENCH_COO_CAP",
+            str(min(max(total_cells + total_cells // 8, 1024), flat_cap))))
+        if total_cells > coo_cap:
+            print(f"coo raster: capacity {coo_cap} truncates "
+                  f"{total_cells - coo_cap} of {total_cells} cells",
                   file=sys.stderr)
+        print(f"coo raster: {total_cells} cells, capacity {coo_cap}",
+              file=sys.stderr)
         cells_flat, ckeys_flat, cdens_flat = bev_mod.pack_cells_flat(
-            list(cells_l), list(keys_l), flat_cap)
+            list(cells_l), list(keys_l), coo_cap)
 
     raster_packed = os.environ.get("BENCH_RASTER", "packed") == "packed"
     # BENCH_DEFER_CONCAT=1 runs the weight-sliced route-concat elimination

@@ -75,7 +75,12 @@ def main() -> None:
     mask = jnp.asarray(mf)
     if args.layout == "coo":
         cl, kl = zip(*[bev_mod.aggregate_bev_cells(c) for c in clouds])
-        cc, kk, dd = bev_mod.pack_cells_flat(list(cl), list(kl), flat_cap)
+        total_cells = sum(len(c) for c in cl)
+        coo_cap = min(max(total_cells + total_cells // 8, 1024),
+                      flat_cap)  # match bench.py
+        print(f"coo: {total_cells} cells, capacity {coo_cap}",
+              file=sys.stderr, flush=True)
+        cc, kk, dd = bev_mod.pack_cells_flat(list(cl), list(kl), coo_cap)
         cells, keys, dens = jnp.asarray(cc), jnp.asarray(kk), jnp.asarray(dd)
 
         def raster(*a):
