@@ -27,9 +27,11 @@ def main(argv=None) -> None:
     # loader ships compact points and the fused program rasterizes on
     # device — ~14x less H2D per evaluated frame (matches bench/entry).
     device_raster = not configs.host_raster
+    cells_raster = configs.cells_raster and device_raster
     loader = create_val_loader(dataset_dir, configs.batch_size,
                                num_samples=configs.num_samples,
-                               device_raster=device_raster)
+                               device_raster=device_raster,
+                               cells_raster=cells_raster)
     # int8 calibration needs host-rasterized images; when the eval loader is
     # deferred (points), hand maybe_quantize a host-raster twin instead
     # (maybe_quantize itself no-ops unless --quantize int8).
@@ -47,7 +49,9 @@ def main(argv=None) -> None:
     from ..parallel import make_mesh_for_batch
 
     mesh = None
-    if jax.device_count() > 1:
+    if jax.device_count() > 1 and not cells_raster:
+        # from_cells is single-device by construction (flat COO buffer has
+        # no batch axis to shard); the points path shards over the mesh.
         mesh = make_mesh_for_batch(configs.batch_size)
         if mesh.devices.size > 1:
             print(f"eval data mesh: {mesh.devices.size} device(s)")
@@ -56,7 +60,8 @@ def main(argv=None) -> None:
     infer = make_inference_fn(
         spec, conf_thresh=configs.conf_thresh, nms_thresh=configs.nms_thresh,
         compute_dtype=common.compute_dtype_of(configs), quant=quant,
-        mesh=mesh, from_points=device_raster)  # val rasters at the native 608
+        mesh=mesh, from_points=device_raster and not cells_raster,
+        from_cells=cells_raster)  # val rasters at the native 608
 
     out = evaluate_map(
         infer, params, state, loader, iou_threshold=configs.iou_thresh,

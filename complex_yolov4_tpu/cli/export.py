@@ -76,6 +76,8 @@ def export_stablehlo(spec, params, state, output: str, *, batch: int,
     with open(output, "wb") as f:
         f.write(data)
     print(f"wrote StableHLO artifact ({len(data)} bytes) -> {output}")
+    print("  weight signature: bf16 (cast checkpoints with "
+          "models.network.cast_conv_params before calling)")
     # round-trip sanity
     restored = jexport.deserialize(data)
     print(f"  in_avals: {len(restored.in_avals)} leaves; "

@@ -154,6 +154,9 @@ class EvalConfig:
     quantize: str = "none"                   # "none" | "int8" (PTQ, models/quantize.py)
     calib_batches: int = 2                   # calibration batches for --quantize int8
     host_raster: bool = False                # force host-side BEV rasterization
+    cells_raster: bool = False               # host-aggregated COO raster
+                                             # (single-device serving; the
+                                             # bench-default layout)
 
 
 def _add_fields(parser: argparse.ArgumentParser, cls) -> None:

@@ -36,6 +36,9 @@ _MULTISCALE_EVERY = 10  # batches between size redraws (reference parity)
 # serving pipeline's right-sized pad, PERF.md): boundary-cropped KITTI /
 # synthetic clouds stay under this.
 MAX_POINTS = 20480
+# Per-frame occupied-cell budget for the COO val path: a cell needs at least
+# one point, so cells <= points; synthetic scenes average ~12.6k cells/frame.
+MAX_CELLS = 16384
 
 # One process-wide assembly pool shared by every BatchIterator (avoids
 # leaking idle threads when loaders are created per epoch/test).
@@ -69,6 +72,7 @@ class BatchIterator:
         workers: int = 0,
         device_raster: bool = False,
         max_holes: int = 1,
+        cells_raster: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -82,6 +86,15 @@ class BatchIterator:
         # Mosaic keeps the host/native raster path (its canvas resize is an
         # image-space op).
         self.device_raster = device_raster and not dataset.mosaic
+        # COO-raster mode (augmentation-free val/test serving): the host
+        # aggregates each cloud to per-cell (id, packed key, density) while
+        # it already parses it, and the device does two conflict-free
+        # scatter-sets — parity-STRICTER and faster than the raw-point
+        # scatter (PERF.md r3 batch-3), but incompatible with on-device
+        # flip/cutout (training) and with batch-axis sharding (flat buffer),
+        # so it is opt-in for single-device inference loaders.
+        self.cells_raster = (cells_raster and self.device_raster
+                             and not dataset.aug_transforms)
         self.max_holes = max_holes
         self.seed = seed
         self.shard_id = shard_id
@@ -186,6 +199,42 @@ class BatchIterator:
         }
         return batch
 
+    def _make_batch_deferred_cells(self, indices: np.ndarray
+                                   ) -> Dict[str, np.ndarray]:
+        """COO val batch: per-cell (id, key, density) aggregated on host,
+        flat-packed at a fixed capacity (stable jit signature), plus the
+        fixed-shape targets. Targets/labels follow the same rng-free val
+        path as `_load_one_deferred` (no augmentation by construction)."""
+        from . import bev as bev_mod
+
+        cells_l, keys_l, tgts, masks, ids = [], [], [], [], []
+        for j, index in enumerate(indices):
+            rng = np.random.default_rng((self.seed, self.epoch, int(index), j))
+            _, (_, lidar), targets, mask = self.dataset.load_sample(
+                int(index), rng, defer_raster=True)
+            c, k = bev_mod.aggregate_bev_cells(
+                bev_mod.remove_points_outside(lidar))
+            cells_l.append(c)
+            keys_l.append(k)
+            tgts.append(targets)
+            masks.append(mask)
+            ids.append(self.dataset.sample_id_list[int(index)])
+        cap = self.batch_size * MAX_CELLS
+        total = sum(len(c) for c in cells_l)
+        if total > cap and not self._warned_truncate:
+            self._warned_truncate = True
+            warnings.warn(
+                f"cells-raster path truncating {total - cap} of {total} "
+                f"occupied cells (cap {cap})", stacklevel=2)
+        cells, keys, dens = bev_mod.pack_cells_flat(cells_l, keys_l, cap)
+        return {
+            "cells": cells, "cell_keys": keys, "cell_dens": dens,
+            "batch": len(indices),
+            "targets": np.stack(tgts).astype(np.float32),
+            "target_mask": np.stack(masks).astype(np.float32),
+            "sample_ids": np.asarray(ids, np.int64),
+        }
+
     def _make_batch_deferred_test(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
         """Test-mode deferred batch: compact padded points for the
         `from_points` inference program, PLUS the host-rasterized BEV image
@@ -218,6 +267,8 @@ class BatchIterator:
 
     def _make_batch(self, indices: np.ndarray, batch_idx: int, size: int) -> Dict[str, np.ndarray]:
         if self.device_raster:
+            if self.cells_raster and not self.dataset.is_test:
+                return self._make_batch_deferred_cells(indices)
             if self.dataset.is_test:
                 return self._make_batch_deferred_test(indices)
             batch = self._make_batch_deferred(indices, size)
@@ -350,17 +401,23 @@ def create_train_loader(dataset_dir: str, batch_size: int, *,
 def create_val_loader(dataset_dir: str, batch_size: int, *,
                       num_samples: Optional[int] = None, seed: int = 2020,
                       shard_id: int = 0, num_shards: int = 1,
-                      device_raster: bool = False) -> BatchIterator:
+                      device_raster: bool = False,
+                      cells_raster: bool = False) -> BatchIterator:
     """Validation pipeline: no augmentation, no multiscale
     (reference: kitti_dataloader.py:50-61).
 
     device_raster: emit compact padded points (flip/holes inert) instead of
     host-rasterized images, for the `from_points` inference program — ~14x
-    less H2D per evaluated frame."""
+    less H2D per evaluated frame.
+
+    cells_raster: emit host-aggregated COO cells instead of points for the
+    `from_cells` inference program (single-device serving; parity-stricter
+    and cheaper than the point scatter — PERF.md r3 batch-3)."""
     ds = KittiDataset(dataset_dir, mode="val", num_samples=num_samples)
     return BatchIterator(ds, batch_size, shuffle=False, drop_last=False,
                          seed=seed, shard_id=shard_id, num_shards=num_shards,
-                         device_raster=device_raster)
+                         device_raster=device_raster,
+                         cells_raster=cells_raster)
 
 
 def create_test_loader(dataset_dir: str, batch_size: int, *,

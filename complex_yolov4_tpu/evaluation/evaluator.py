@@ -7,6 +7,7 @@ tiny greedy TP matching and AP bookkeeping run on host.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Dict, Optional
 
 import jax
@@ -29,6 +30,7 @@ def make_inference_fn(
     quant=None,
     mesh=None,
     from_points: bool = False,
+    from_cells: bool = False,
     img_size: Optional[int] = None,
 ) -> Callable:
     """Jitted (params, state, images) -> (detections, det_masks).
@@ -51,10 +53,44 @@ def make_inference_fn(
     on device inside the same program, resized to `img_size` — ~14x less
     H2D per frame than uploading images (decisive through low-bandwidth
     links; the bench/entry serving configs do the same).
+
+    from_cells: the returned fn takes flat COO cell batches (loader
+    `cells_raster=True`: cells, keys, density, plus a trailing python-int
+    frame count) and builds the BEV with two conflict-free scatter-sets —
+    the bench-default raster (parity-stricter and faster than the point
+    scatter, PERF.md r3 batch-3). Rasters at the native 608 then resizes to
+    `img_size`, mirroring the points path. Single-device only: the flat
+    cell buffer has no batch axis to shard (pass mesh=None).
     """
     from ..data import bev as bev_mod
 
+    if from_cells and from_points:
+        raise ValueError("from_cells and from_points are exclusive")
+    if from_cells and mesh is not None:
+        raise ValueError("from_cells serving is single-device (mesh=None): "
+                         "the flat COO buffer has no batch axis to shard")
     n_inputs = 5 if from_points else 1
+
+    if from_cells:
+        size = img_size or _default_bev()
+
+        @partial(jax.jit, static_argnums=(3,))
+        def infer_cells(params, state, quant, batch_n, cells, keys, dens):
+            images = bev_mod.make_bev_map_from_cells(cells, keys, dens,
+                                                     batch_n)
+            if size != images.shape[1]:
+                images = jax.image.resize(
+                    images, (images.shape[0], size, size, images.shape[3]),
+                    method="linear", antialias=False)
+            decoded, _ = net.apply(spec, params, state, images, train=False,
+                                   compute_dtype=compute_dtype, quant=quant)
+            return nms_batch(decoded, conf_thresh, nms_thresh, max_boxes)
+
+        def infer(params, state, cells, keys, dens, batch_n):
+            return infer_cells(params, state, quant, int(batch_n),
+                               cells, keys, dens)
+
+        return infer
 
     def infer_impl(params, state, quant, *inputs):
         if from_points:
@@ -142,7 +178,13 @@ def evaluate_map(
     pending = None
     b_prev = 0
     for b_idx, batch in enumerate(loader):
-        if "image" in batch:
+        if "cells" in batch:  # COO batch: from_cells infer fn
+            img_size = float(batch.get("size") or _default_bev())
+            dets, masks = infer_fn(
+                params, state, jnp.asarray(batch["cells"]),
+                jnp.asarray(batch["cell_keys"]),
+                jnp.asarray(batch["cell_dens"]), batch["batch"])
+        elif "image" in batch:
             images = jnp.asarray(batch["image"])
             img_size = float(images.shape[1])
             dets, masks = infer_fn(params, state, images)

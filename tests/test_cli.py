@@ -130,7 +130,9 @@ def test_export_cli_all_formats(kitti_root, tmp_path):
     restored = jexport.deserialize(open(out_s, "rb").read())
     spec = get_model_spec("complex_yolov4_tiny")
     params, state = net.init_params(spec, jax.random.PRNGKey(0))
-    fparams = net.fold_batchnorm(spec, params, state)
+    # the artifact's weight signature is bf16 (cast_conv_params at export:
+    # half-size serving payloads, numerically identical program)
+    fparams = net.cast_conv_params(net.fold_batchnorm(spec, params, state))
     imgs = np.zeros((1, 128, 128, 3), np.float32)
     dets, masks = restored.call(fparams, imgs)
     assert dets.shape == (1, 16, 9)

@@ -464,3 +464,42 @@ def test_mosaic_random_padding(kitti_root):
     assert canvases[0].shape[0] in (608, 1216)
     # random centers differ between draws
     assert not np.allclose(canvases[0], canvases[1])
+
+
+def test_val_loader_cells_raster_batches():
+    """create_val_loader(cells_raster=True) emits flat COO batches whose
+    device raster matches the host raster of the same frames within the COO
+    packing budgets (and targets identical to the points-mode loader)."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from complex_yolov4_tpu.data import synthetic
+    from complex_yolov4_tpu.data.loader import create_val_loader
+
+    root = tempfile.mkdtemp(prefix="cells_val_")
+    synthetic.generate_kitti_dataset(root, num_train=1, num_val=3,
+                                     num_test=1, seed=3)
+    lc = create_val_loader(root, 2, device_raster=True, cells_raster=True)
+    lp = create_val_loader(root, 2, device_raster=True)
+    batches_c = list(lc)
+    batches_p = list(lp)
+    assert len(batches_c) == len(batches_p) == 2  # 3 frames, batch 2
+    got_frames = 0
+    for bc, bp in zip(batches_c, batches_p):
+        assert set(bc) >= {"cells", "cell_keys", "cell_dens", "targets",
+                           "target_mask", "batch", "sample_ids"}
+        np.testing.assert_array_equal(bc["targets"], bp["targets"])
+        np.testing.assert_array_equal(bc["sample_ids"], bp["sample_ids"])
+        img = np.asarray(bev.make_bev_map_from_cells(
+            jnp.asarray(bc["cells"]), jnp.asarray(bc["cell_keys"]),
+            jnp.asarray(bc["cell_dens"]), bc["batch"]))
+        for j in range(bc["batch"]):
+            pts = bp["points"][j][bp["point_mask"][j] > 0.5]
+            host = bev.make_bev_map(pts)
+            err = np.abs(img[j] - host)
+            assert err[..., 0].max() <= 1.0 / 510 + 1e-6
+            assert err[..., 1].max() <= 1.0 / ((1 << 18) - 1)
+            assert err[..., 2].max() == 0.0
+            got_frames += 1
+    assert got_frames == 3

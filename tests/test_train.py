@@ -465,3 +465,45 @@ def test_device_prefetch_iterator():
     for i, b in enumerate(out):
         assert float(np.asarray(b["image"])[0, 0, 0, 0]) == i
         assert b["image"].sharding.num_devices == 8
+
+
+def test_from_cells_inference_matches_image_path():
+    """from_cells inference (COO scatter raster inside the program, the
+    bench-default layout) must equal the image-input program fed the same
+    COO-rastered images, including the 608 -> img_size resize that mirrors
+    the points path."""
+    from complex_yolov4_tpu.data import bev as bev_mod
+    from complex_yolov4_tpu.data import synthetic
+    from complex_yolov4_tpu.evaluation import make_inference_fn
+
+    spec = get_model_spec("complex_yolov4_tiny", width=96, height=96)
+    params, state = net.init_params(spec, jax.random.PRNGKey(0))
+    clouds = [bev_mod.remove_points_outside(
+        synthetic.sample_scene(np.random.default_rng(s))[0])
+        for s in range(2)]
+    cl, kl = zip(*[bev_mod.aggregate_bev_cells(c) for c in clouds])
+    cap = sum(len(c) for c in cl) + 32
+    cells, keys, dens = bev_mod.pack_cells_flat(list(cl), list(kl), cap)
+
+    infer_cells = make_inference_fn(spec, conf_thresh=0.01, nms_thresh=0.5,
+                                    max_boxes=16, from_cells=True,
+                                    img_size=96)
+    d_c, m_c = infer_cells(params, state, jnp.asarray(cells),
+                           jnp.asarray(keys), jnp.asarray(dens), 2)
+
+    images = bev_mod.make_bev_map_from_cells(
+        jnp.asarray(cells), jnp.asarray(keys), jnp.asarray(dens), 2)
+    images = jax.image.resize(images, (2, 96, 96, 3), method="linear",
+                              antialias=False)
+    infer_img = make_inference_fn(spec, conf_thresh=0.01, nms_thresh=0.5,
+                                  max_boxes=16)
+    d_i, m_i = infer_img(params, state, images)
+    np.testing.assert_allclose(np.asarray(m_c), np.asarray(m_i))
+    np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_i),
+                               atol=1e-4, rtol=1e-4)
+
+    # mesh + from_cells must be rejected (flat buffer is not shardable)
+    from complex_yolov4_tpu.parallel import make_mesh
+    with pytest.raises(ValueError):
+        make_inference_fn(spec, from_cells=True,
+                          mesh=make_mesh(jax.devices()[:1]))
