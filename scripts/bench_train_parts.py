@@ -3,10 +3,10 @@
 Differentially times, at batch 8 / 608 / bf16:
   fwd            : train-mode forward only
   fwd+loss       : + network_loss value
-  grad           : value_and_grad of loss
-  grad-nometrics : same but with the metrics IoU work stubbed out (MSE mode
-                   computes pred-vs-target IoU only for the metrics dict)
-  full step      : + optimizer update (the production step)
+  grad           : value_and_grad of loss (scan-differential, no donation —
+                   reads higher than the production step, which donates
+                   state and pipelines; compare full-step numbers)
+  full step      : the production step (+ optimizer/BN update, metrics on)
 Env: GIOU=1 for the rotated-GIoU loss path, BATCH.
 """
 

@@ -11,7 +11,9 @@ export PYTHONPATH=/root/.axon_site:/root/repo
 run() {  # name timeout cmd...
   local name=$1 tmo=$2; shift 2
   echo "=== $name ($(date +%H:%M:%S)) ==="
-  /usr/bin/time -f "wall %e s" timeout "$tmo" "$@" >>"$OUT/$name.log" 2>&1
+  local t0=$SECONDS
+  timeout "$tmo" "$@" >>"$OUT/$name.log" 2>&1
+  echo "wall $((SECONDS - t0)) s" >>"$OUT/$name.log"
   tail -3 "$OUT/$name.log"
 }
 
