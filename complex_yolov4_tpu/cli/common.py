@@ -103,10 +103,19 @@ def maybe_quantize(spec, params, state, config, loader):
     (models/quantize.py). Returns (spec, params, state, quant); identity with
     quant=None when quantization is off."""
     if getattr(config, "quantize", "none") != "int8":
+        if compute_dtype_of(config) == jnp.bfloat16 and state:
+            # bf16 serving: fold BN stats into the conv weights FIRST (same
+            # config the bench measures), then pre-cast kernels to the
+            # serving dtype (halves weight HBM reads). Folding before the
+            # cast keeps every execution path single-rounded — the pallas /
+            # s2d paths fold BN in-graph from the raw weights, which would
+            # double-round a pre-cast UNFOLDED kernel. f32 serving keeps the
+            # unfolded reference-parity path untouched.
+            params = net.cast_conv_params(net.fold_batchnorm(spec, params,
+                                                             state))
+            return net.fold_spec(spec), params, {}, None
         if compute_dtype_of(config) == jnp.bfloat16:
-            # Pre-cast kernels to the serving dtype (numerically identical —
-            # apply() casts in-graph anyway; halves weight HBM reads).
-            params = net.cast_conv_params(params)
+            params = net.cast_conv_params(params)  # already folded (no state)
         return spec, params, state, None
     import numpy as np
 

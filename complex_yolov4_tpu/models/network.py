@@ -201,6 +201,7 @@ def apply(
     quant: Optional[Dict[str, Any]] = None,
     capture_act_max: bool = False,
     defer_route_concat: bool = False,
+    stop_after: Optional[int] = None,
 ):
     """Run the network.
 
@@ -225,6 +226,14 @@ def apply(
 
     capture_act_max: additionally return {layer_key: max|conv input|} as the
     last element (calibration support, models/quantize.py).
+
+    stop_after: truncate the network after layer index `stop_after` and
+    return (live_tensors, decoded_heads) instead of the normal structure —
+    every tensor still held for a later route/shortcut plus the running
+    activation, exactly the executor's liveness set, so a jitted prefix
+    cannot dead-code-eliminate side branches. Measurement support for the
+    per-layer in-network attribution (scripts/bench_prefix.py); overrides
+    the train-mode return shape (no state merge).
     """
     if use_pallas_conv is None:
         use_pallas_conv = _use_pallas_default()
@@ -299,6 +308,8 @@ def apply(
     h = x
     fused_until = -1
     for i, layer in enumerate(spec.layers):
+        if stop_after is not None and i > stop_after:
+            break
         if i <= fused_until:
             continue  # inside a fused segment; outputs already appended
         if i in fused_by_start:
@@ -525,6 +536,14 @@ def apply(
             if outputs[j] is not None and last_use[j] <= i:
                 outputs[j] = None
 
+    if stop_after is not None:
+        live = [o for o in outputs if o is not None]
+        # The final prefix layer may have no later consumer in last_use (its
+        # only full-network reader is a route that jumps elsewhere) and get
+        # liveness-pruned above — keep it, or XLA would DCE the layer.
+        if not isinstance(h, _PartsConcat) and not any(o is h for o in live):
+            live.append(h)
+        return live, decoded_heads
     decoded = jnp.concatenate(decoded_heads, axis=1)
     if train:
         merged = dict(state)
@@ -578,11 +597,16 @@ def cast_conv_params(params: Params, dtype=jnp.bfloat16) -> Params:
     (`_conv`), so serving from pre-cast params is numerically IDENTICAL —
     but it halves the weight bytes read from HBM per step (f32 -> bf16,
     ~256 MB -> 128 MB for the flagship) and deletes the per-call convert
-    kernels. Serving only: checkpoints and training stay f32. Only 'w'/'b'
-    leaves are cast; BN leaves (unfolded params) stay f32 because
-    rsqrt(var + eps) must run in f32 for parity."""
+    kernels. Serving only: checkpoints and training stay f32.
+
+    UNFOLDED convs (entries still carrying BN leaves) are left entirely f32:
+    the pallas/s2d/fused paths fold BN in-graph as w * rsqrt(var + eps) *
+    scale, so a pre-cast unfolded kernel would be rounded BEFORE that fold —
+    a double rounding the folded path never sees. Fold with
+    `fold_batchnorm` first to cast everything."""
     return {
-        k: {kk: (v.astype(dtype) if kk in ("w", "b") else v)
+        k: {kk: (v.astype(dtype)
+                 if kk in ("w", "b") and "bn_scale" not in p else v)
             for kk, v in p.items()}
         for k, p in params.items()
     }

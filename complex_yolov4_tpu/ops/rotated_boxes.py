@@ -63,33 +63,6 @@ def box_corners(boxes: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([cx, cy], axis=-1)
 
 
-def shoelace_area(verts: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Masked shoelace area of polygons given in order.
-
-    Args:
-      verts: (..., V, 2) vertex ring; only the first `count` entries (per the
-        mask) are real. Dead slots must duplicate a live vertex or sit at a
-        fixed point so the masked terms vanish.
-      mask: (..., V) 1.0 for live vertices.
-
-    Returns |area| (...,). The "next" vertex of slot i is the next *live*
-    slot; dead slots are skipped by forcing their contribution to zero and
-    closing the ring from the last live vertex back to slot 0.
-    """
-    # Build the ring over live vertices only: gather index of next live vertex.
-    v = verts.shape[-2]
-    idx = jnp.arange(v)
-    count = jnp.sum(mask, axis=-1, keepdims=True)  # (..., 1)
-    nxt = jnp.where(idx + 1 < count, idx + 1, 0)  # (..., V) ring closure
-    nxt = jnp.broadcast_to(nxt, mask.shape).astype(jnp.int32)
-    vx = verts[..., 0]
-    vy = verts[..., 1]
-    nx = jnp.take_along_axis(vx, nxt, axis=-1)
-    ny = jnp.take_along_axis(vy, nxt, axis=-1)
-    cross = vx * ny - nx * vy
-    return 0.5 * jnp.abs(jnp.sum(cross * mask, axis=-1))
-
-
 def _corners_xy(boxes: jnp.ndarray):
     """(..., 5) boxes -> (cx, cy) each (4, ...) — corner-major, batch last."""
     c = box_corners(boxes)  # (..., 4, 2)

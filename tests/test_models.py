@@ -250,3 +250,22 @@ def test_cast_conv_params_is_bit_identical():
     a = np.asarray(run(fparams, x), np.float32)
     b = np.asarray(run(cparams, x), np.float32)
     np.testing.assert_array_equal(a, b)
+
+
+def test_cast_conv_params_skips_unfolded_convs():
+    """cast_conv_params must leave UNFOLDED convs (entries still carrying BN
+    leaves) entirely f32: the pallas/s2d paths fold BN in-graph from the raw
+    kernel, and a pre-cast unfolded kernel would be double-rounded there.
+    Folded convs and bias-only convs (the YOLO heads) still cast."""
+    spec = get_model_spec("complex_yolov4_tiny", width=128, height=128)
+    params, state = net.init_params(spec, jax.random.PRNGKey(0))
+    cparams = net.cast_conv_params(params)
+    saw_unfolded = saw_bias = False
+    for k, p in cparams.items():
+        if "bn_scale" in p:
+            saw_unfolded = True
+            assert all(v.dtype == jnp.float32 for v in p.values()), k
+        else:
+            saw_bias = True
+            assert p["w"].dtype == jnp.bfloat16 and p["b"].dtype == jnp.bfloat16
+    assert saw_unfolded and saw_bias
