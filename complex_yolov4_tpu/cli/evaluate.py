@@ -28,10 +28,17 @@ def main(argv=None) -> None:
     # device — ~14x less H2D per evaluated frame (matches bench/entry).
     device_raster = not configs.host_raster
     cells_raster = configs.cells_raster and device_raster
+    # Multi-device hosts use the batched (B, C) COO layout so the from_cells
+    # program shards over the mesh; single-device keeps the flat layout
+    # (fewest scatter lanes — the measured-fastest serving config).
+    import jax
+
+    cells_batched = cells_raster and jax.device_count() > 1
     loader = create_val_loader(dataset_dir, configs.batch_size,
                                num_samples=configs.num_samples,
                                device_raster=device_raster,
-                               cells_raster=cells_raster)
+                               cells_raster=cells_raster,
+                               cells_batched=cells_batched)
     # int8 calibration needs host-rasterized images; when the eval loader is
     # deferred (points), hand maybe_quantize a host-raster twin instead
     # (maybe_quantize itself no-ops unless --quantize int8).
@@ -43,20 +50,19 @@ def main(argv=None) -> None:
     spec, params, state, quant = common.maybe_quantize(
         spec, params, state, configs, calib_loader)
     # Multi-device hosts evaluate data-parallel: batch sharded over the mesh,
-    # weights replicated (single device degrades to the plain jit).
-    import jax
-
+    # weights replicated (single device degrades to the plain jit). The COO
+    # path shards too via the batched layout (loader cells_batched above).
     from ..parallel import make_mesh_for_batch
 
     mesh = None
-    if jax.device_count() > 1 and not cells_raster:
-        # from_cells is single-device by construction (flat COO buffer has
-        # no batch axis to shard); the points path shards over the mesh.
+    if jax.device_count() > 1:
         mesh = make_mesh_for_batch(configs.batch_size)
         if mesh.devices.size > 1:
             print(f"eval data mesh: {mesh.devices.size} device(s)")
         else:
             mesh = None
+    # (If the mesh degraded to one device, a cells_batched loader still
+    # serves through the single-device jit — just more lanes than flat.)
     infer = make_inference_fn(
         spec, conf_thresh=configs.conf_thresh, nms_thresh=configs.nms_thresh,
         compute_dtype=common.compute_dtype_of(configs), quant=quant,

@@ -283,15 +283,25 @@ def density_from_keys(keys: np.ndarray) -> np.ndarray:
 
 
 def pack_cells_flat(cell_arrays, key_arrays, capacity: int,
-                    bev_size: int = cnf.BEV_HEIGHT
+                    bev_size: int = cnf.BEV_HEIGHT,
+                    total_frames: Optional[int] = None,
                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-frame (cells, keys) from `aggregate_bev_cells` -> flat (capacity,)
     (cells int32, keys int32, density f32) for `make_bev_map_from_cells`.
     Cell ids become frame-global (fid * grid^2 + cell); unused lanes point at
     the dump slot so the device needs no mask. Tail frames truncate past
-    `capacity` (same policy as `pack_points_flat`)."""
+    `capacity` (same policy as `pack_points_flat`).
+
+    total_frames: frame count the downstream `make_bev_map_from_cells` will
+    raster at (>= len(cell_arrays)); the dump slot sits past THAT grid, so a
+    tail batch packed with the full batch size serves through the already-
+    compiled full-batch program (no per-remainder recompile) — the pad
+    frames raster as empty and are sliced off by the caller."""
     grid = bev_size + 1
-    n_cells_total = len(cell_arrays) * grid * grid
+    if total_frames is None:
+        total_frames = len(cell_arrays)
+    assert total_frames >= len(cell_arrays)
+    n_cells_total = total_frames * grid * grid
     cells = np.full((capacity,), n_cells_total, np.int32)
     keys = np.zeros((capacity,), np.int32)
     at = 0
@@ -302,6 +312,31 @@ def pack_cells_flat(cell_arrays, key_arrays, capacity: int,
         at += n
         if at >= capacity:
             break
+    return cells, keys, density_from_keys(keys)
+
+
+def pack_cells_batched(cell_arrays, key_arrays, per_frame_capacity: int,
+                       bev_size: int = cnf.BEV_HEIGHT,
+                       total_frames: Optional[int] = None,
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched COO layout for `make_bev_map_from_cells_batched`: per-frame
+    (cells, keys) -> ((B, C) cells int32, (B, C) keys int32, (B, C) dens f32)
+    with frame-LOCAL cell ids. Unlike the flat layout this has a batch axis,
+    so it shards over a data mesh (the DP serving path); the cost is lanes =
+    B x per-frame capacity instead of the batch total. Dead lanes carry
+    key == 0 (impossible for an occupied cell: count >= 1 sets bit 8+), which
+    the device routes to the dump slot — zero-padded pad FRAMES are therefore
+    also valid, which is what the mesh path pads remainder batches with.
+    Frames with more than `per_frame_capacity` cells truncate."""
+    if total_frames is None:
+        total_frames = len(cell_arrays)
+    assert total_frames >= len(cell_arrays)
+    cells = np.zeros((total_frames, per_frame_capacity), np.int32)
+    keys = np.zeros((total_frames, per_frame_capacity), np.int32)
+    for fid, (c, k) in enumerate(zip(cell_arrays, key_arrays)):
+        n = min(c.shape[0], per_frame_capacity)
+        cells[fid, :n] = c[:n]
+        keys[fid, :n] = k[:n]
     return cells, keys, density_from_keys(keys)
 
 
@@ -327,6 +362,39 @@ def make_bev_map_from_cells(cells: jnp.ndarray, keys: jnp.ndarray,
     density = dbuf[:n_cells].reshape(batch, grid, grid)
     # key == 0 <=> empty cell (any occupied cell has count >= 1).
     full = jnp.stack([intensity, height, density], axis=-1)
+    return full[:, :bev_size, :bev_size, :]
+
+
+@partial(jax.jit, static_argnames=("bev_size",))
+def make_bev_map_from_cells_batched(cells: jnp.ndarray, keys: jnp.ndarray,
+                                    dens: jnp.ndarray,
+                                    bev_size: int = cnf.BEV_HEIGHT
+                                    ) -> jnp.ndarray:
+    """Shardable COO raster: (B, C) frame-LOCAL cell ids + packed keys +
+    host density (`pack_cells_batched`) -> (B, S, S, 3).
+
+    Same math as `make_bev_map_from_cells` but vmapped over the batch axis,
+    so under a data mesh each device scatters only its own frames' lanes —
+    the DP serving form of the COO path (the flat layout has no batch axis
+    to shard). Liveness comes from the key itself: an occupied cell always
+    has count >= 1 (bit 8+), so key == 0 marks a dead lane (or a zero-padded
+    pad frame) and routes to the dump slot."""
+    grid = bev_size + 1
+    n_cells = grid * grid
+
+    def one(c, k, d):
+        c_eff = jnp.where(k != 0, c, n_cells)
+        buf = jnp.zeros((n_cells + 1,), jnp.int32).at[c_eff].set(
+            k, mode="drop", unique_indices=True)
+        dbuf = jnp.zeros((n_cells + 1,), jnp.float32).at[c_eff].set(
+            d, mode="drop", unique_indices=True)
+        u = buf[:n_cells].astype(jnp.uint32).reshape(grid, grid)
+        intensity = (u & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+        height = (u >> 14).astype(jnp.float32) * (1.0 / _HQ_MAX)
+        density = dbuf[:n_cells].reshape(grid, grid)
+        return jnp.stack([intensity, height, density], axis=-1)
+
+    full = jax.vmap(one)(cells, keys, dens)
     return full[:, :bev_size, :bev_size, :]
 
 

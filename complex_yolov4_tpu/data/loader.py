@@ -73,6 +73,8 @@ class BatchIterator:
         device_raster: bool = False,
         max_holes: int = 1,
         cells_raster: bool = False,
+        cells_batched: bool = False,
+        cell_capacity: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -95,6 +97,17 @@ class BatchIterator:
         # so it is opt-in for single-device inference loaders.
         self.cells_raster = (cells_raster and self.device_raster
                              and not dataset.aug_transforms)
+        # Batched (B, C) COO layout instead of the flat one: per-frame-local
+        # cell ids with a batch axis, so the from_cells program can shard
+        # over a data mesh (bev.pack_cells_batched). Lanes cost B x per-frame
+        # capacity instead of the batch total — single-device serving keeps
+        # the flat layout (the measured-fastest config, PERF.md r3).
+        self.cells_batched = cells_batched
+        # Static COO cell capacity (per frame). None = derive from the
+        # workload at first use: scatter cost scales with lane CAPACITY, not
+        # live lanes (PERF.md), and the old batch*16384 worst case paid ~15%
+        # more raster lanes than the benched right-sized config.
+        self.cell_capacity = cell_capacity
         self.max_holes = max_holes
         self.seed = seed
         self.shard_id = shard_id
@@ -103,6 +116,8 @@ class BatchIterator:
         self.workers = workers if workers > 0 else min(8, os.cpu_count() or 4)
         self.epoch = 0
         self._warned_truncate = False
+        self._warned_cell_truncate = False
+        self._dropped_cells = 0
         self._warned_holes = False
         base = dataset.img_size
         self.size_choices = list(range(base - 3 * 32, base + 3 * 32 + 1, 32))
@@ -199,37 +214,96 @@ class BatchIterator:
         }
         return batch
 
+    def _cells_per_frame_cap(self) -> int:
+        """Per-frame COO cell capacity, derived from the workload once: the
+        max occupied-cell count over a small evenly-spaced frame sample,
+        +12.5% headroom (the bench's measured capacity policy, PERF.md r3
+        batch-4), clamped to MAX_CELLS. Frames beyond the estimate surface
+        through the dropped-cell warning/count rather than silently."""
+        if self.cell_capacity is not None:
+            return self.cell_capacity
+        from . import bev as bev_mod
+
+        n = len(self.dataset)
+        sample = np.unique(np.linspace(0, n - 1, min(16, n)).astype(int))
+        worst = 1024
+        for i in sample:
+            lidar = self.dataset.get_lidar(self.dataset.sample_id_list[int(i)])
+            c, _ = bev_mod.aggregate_bev_cells(
+                bev_mod.remove_points_outside(lidar))
+            worst = max(worst, len(c))
+        self.cell_capacity = min(worst + worst // 8, MAX_CELLS)
+        return self.cell_capacity
+
     def _make_batch_deferred_cells(self, indices: np.ndarray
                                    ) -> Dict[str, np.ndarray]:
         """COO val batch: per-cell (id, key, density) aggregated on host,
-        flat-packed at a fixed capacity (stable jit signature), plus the
+        packed at a fixed capacity (stable jit signature), plus the
         fixed-shape targets. Targets/labels follow the same rng-free val
-        path as `_load_one_deferred` (no augmentation by construction)."""
+        path as `_load_one_deferred` (no augmentation by construction).
+
+        Flat layout (default): one (batch_cap * per-frame-cap,) buffer packed
+        to the batch TOTAL — fewest lanes, single-device. Batched layout
+        (`cells_batched`): (batch_cap, per-frame-cap) with frame-local ids —
+        shards over a data mesh. Both pack at the loader's FULL batch size so
+        a remainder tail batch reuses the full-batch compiled program (the
+        pad frames raster empty and the caller slices them off)."""
         from . import bev as bev_mod
 
-        cells_l, keys_l, tgts, masks, ids = [], [], [], [], []
-        for j, index in enumerate(indices):
+        from .. import native
+
+        use_native = native.is_available()
+
+        def load_one(j_index):
+            j, index = j_index
             rng = np.random.default_rng((self.seed, self.epoch, int(index), j))
             _, (_, lidar), targets, mask = self.dataset.load_sample(
                 int(index), rng, defer_raster=True)
-            c, k = bev_mod.aggregate_bev_cells(
-                bev_mod.remove_points_outside(lidar))
-            cells_l.append(c)
-            keys_l.append(k)
-            tgts.append(targets)
-            masks.append(mask)
-            ids.append(self.dataset.sample_id_list[int(index)])
-        cap = self.batch_size * MAX_CELLS
-        total = sum(len(c) for c in cells_l)
-        if total > cap and not self._warned_truncate:
-            self._warned_truncate = True
-            warnings.warn(
-                f"cells-raster path truncating {total - cap} of {total} "
-                f"occupied cells (cap {cap})", stacklevel=2)
-        cells, keys, dens = bev_mod.pack_cells_flat(cells_l, keys_l, cap)
+            # C++ single-pass aggregation when available (bit-identical to
+            # the numpy path, tests/test_native.py). Measured supply on this
+            # 1-core host: numpy 142 f/s (below the ~510 f/s device rate —
+            # it WAS the binding constraint), native 420 f/s (PERF.md r4).
+            if use_native:
+                c, k = native.aggregate_cells(lidar)
+            else:
+                c, k = bev_mod.aggregate_bev_cells(
+                    bev_mod.remove_points_outside(lidar))
+            return c, k, targets, mask
+
+        if self.workers > 1 and len(indices) > 1:
+            # IO + the GIL-releasing C++ aggregation overlap across threads
+            # (same pool as the points path).
+            results = list(_shared_pool().map(load_one, enumerate(indices)))
+        else:
+            results = [load_one(ji) for ji in enumerate(indices)]
+        cells_l = [r[0] for r in results]
+        keys_l = [r[1] for r in results]
+        tgts = [r[2] for r in results]
+        masks = [r[3] for r in results]
+        ids = [self.dataset.sample_id_list[int(i)] for i in indices]
+        per_frame = self._cells_per_frame_cap()
+        if self.cells_batched:
+            dropped = sum(max(0, len(c) - per_frame) for c in cells_l)
+            cells, keys, dens = bev_mod.pack_cells_batched(
+                cells_l, keys_l, per_frame, total_frames=self.batch_size)
+        else:
+            cap = self.batch_size * per_frame
+            total = sum(len(c) for c in cells_l)
+            dropped = max(0, total - cap)
+            cells, keys, dens = bev_mod.pack_cells_flat(
+                cells_l, keys_l, cap, total_frames=self.batch_size)
+        if dropped:
+            self._dropped_cells += dropped
+            if not self._warned_cell_truncate:
+                self._warned_cell_truncate = True
+                warnings.warn(
+                    f"cells-raster path dropping {dropped} occupied cells "
+                    f"this batch (per-frame capacity {per_frame}); total "
+                    "dropped is reported at iterator exhaustion — pass "
+                    "cell_capacity to raise the cap", stacklevel=2)
         return {
             "cells": cells, "cell_keys": keys, "cell_dens": dens,
-            "batch": len(indices),
+            "batch": len(indices), "batch_cap": self.batch_size,
             "targets": np.stack(tgts).astype(np.float32),
             "target_mask": np.stack(masks).astype(np.float32),
             "sample_ids": np.asarray(ids, np.int64),
@@ -317,8 +391,17 @@ class BatchIterator:
                 size = int(size_rng.choice(self.size_choices))
             chunk = indices[b * self.batch_size : (b + 1) * self.batch_size]
             if len(chunk) < self.batch_size and self.drop_last:
-                return
+                break
             yield self._make_batch(chunk, b, size if self.multiscale else self.dataset.img_size)
+        if self._dropped_cells:
+            # Systematic truncation silently biases eval — surface the epoch
+            # total (the first occurrence already warned with the cap).
+            warnings.warn(
+                f"cells-raster path dropped {self._dropped_cells} occupied "
+                "cells total this epoch (per-frame capacity "
+                f"{self.cell_capacity}); results are biased — raise "
+                "cell_capacity", stacklevel=2)
+            self._dropped_cells = 0
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self.prefetch <= 0:
@@ -402,7 +485,9 @@ def create_val_loader(dataset_dir: str, batch_size: int, *,
                       num_samples: Optional[int] = None, seed: int = 2020,
                       shard_id: int = 0, num_shards: int = 1,
                       device_raster: bool = False,
-                      cells_raster: bool = False) -> BatchIterator:
+                      cells_raster: bool = False,
+                      cells_batched: bool = False,
+                      cell_capacity: Optional[int] = None) -> BatchIterator:
     """Validation pipeline: no augmentation, no multiscale
     (reference: kitti_dataloader.py:50-61).
 
@@ -411,13 +496,18 @@ def create_val_loader(dataset_dir: str, batch_size: int, *,
     less H2D per evaluated frame.
 
     cells_raster: emit host-aggregated COO cells instead of points for the
-    `from_cells` inference program (single-device serving; parity-stricter
-    and cheaper than the point scatter — PERF.md r3 batch-3)."""
+    `from_cells` inference program (parity-stricter and cheaper than the
+    point scatter — PERF.md r3 batch-3). Flat layout by default
+    (single-device, fewest lanes); `cells_batched` selects the shardable
+    (B, C) layout for mesh serving. `cell_capacity` pins the per-frame cell
+    budget (default: derived from a workload sample)."""
     ds = KittiDataset(dataset_dir, mode="val", num_samples=num_samples)
     return BatchIterator(ds, batch_size, shuffle=False, drop_last=False,
                          seed=seed, shard_id=shard_id, num_shards=num_shards,
                          device_raster=device_raster,
-                         cells_raster=cells_raster)
+                         cells_raster=cells_raster,
+                         cells_batched=cells_batched,
+                         cell_capacity=cell_capacity)
 
 
 def create_test_loader(dataset_dir: str, batch_size: int, *,

@@ -54,30 +54,29 @@ def make_inference_fn(
     H2D per frame than uploading images (decisive through low-bandwidth
     links; the bench/entry serving configs do the same).
 
-    from_cells: the returned fn takes flat COO cell batches (loader
-    `cells_raster=True`: cells, keys, density, plus a trailing python-int
-    frame count) and builds the BEV with two conflict-free scatter-sets —
-    the bench-default raster (parity-stricter and faster than the point
-    scatter, PERF.md r3 batch-3). Rasters at the native 608 then resizes to
-    `img_size`, mirroring the points path. Single-device only: the flat
-    cell buffer has no batch axis to shard (pass mesh=None).
+    from_cells: the returned fn takes COO cell batches (loader
+    `cells_raster=True`: cells, keys, density, a python-int live frame
+    count, and optionally the packed frame capacity) and builds the BEV
+    with two conflict-free scatter-sets — the bench-default raster
+    (parity-stricter and faster than the point scatter, PERF.md r3
+    batch-3). Rasters at the native 608 then resizes to `img_size`,
+    mirroring the points path. Two layouts, detected per call from
+    cells.ndim: the flat (capacity,) layout (fewest lanes, single-device —
+    a tail batch packed at the full batch capacity reuses the full-batch
+    program and the pad frames are sliced off), and the batched (B, C)
+    layout (`loader cells_batched=True`) whose batch axis shards over
+    `mesh` like the points path.
     """
     from ..data import bev as bev_mod
 
     if from_cells and from_points:
         raise ValueError("from_cells and from_points are exclusive")
-    if from_cells and mesh is not None:
-        raise ValueError("from_cells serving is single-device (mesh=None): "
-                         "the flat COO buffer has no batch axis to shard")
     n_inputs = 5 if from_points else 1
 
     if from_cells:
         size = img_size or _default_bev()
 
-        @partial(jax.jit, static_argnums=(3,))
-        def infer_cells(params, state, quant, batch_n, cells, keys, dens):
-            images = bev_mod.make_bev_map_from_cells(cells, keys, dens,
-                                                     batch_n)
+        def _net_tail(params, state, quant, images):
             if size != images.shape[1]:
                 images = jax.image.resize(
                     images, (images.shape[0], size, size, images.shape[3]),
@@ -86,9 +85,56 @@ def make_inference_fn(
                                    compute_dtype=compute_dtype, quant=quant)
             return nms_batch(decoded, conf_thresh, nms_thresh, max_boxes)
 
-        def infer(params, state, cells, keys, dens, batch_n):
-            return infer_cells(params, state, quant, int(batch_n),
-                               cells, keys, dens)
+        @partial(jax.jit, static_argnums=(3,))
+        def infer_cells_flat(params, state, quant, batch_cap,
+                             cells, keys, dens):
+            images = bev_mod.make_bev_map_from_cells(cells, keys, dens,
+                                                     batch_cap)
+            return _net_tail(params, state, quant, images)
+
+        def infer_cells_batched_impl(params, state, quant, cells, keys, dens):
+            images = bev_mod.make_bev_map_from_cells_batched(cells, keys,
+                                                             dens)
+            return _net_tail(params, state, quant, images)
+
+        if mesh is None:
+            infer_cells_batched = jax.jit(infer_cells_batched_impl)
+            n_dev = 1
+        else:
+            from ..parallel import mesh as pmesh
+
+            repl = pmesh.replicated(mesh)
+            data = pmesh.data_sharding(mesh)
+            infer_cells_batched = jax.jit(
+                infer_cells_batched_impl,
+                in_shardings=(repl, repl, repl, data, data, data),
+                out_shardings=(data, data))
+            n_dev = int(mesh.devices.size)
+
+        def infer(params, state, cells, keys, dens, batch_n, batch_cap=None):
+            n = int(batch_n)
+            cells = jnp.asarray(cells)
+            if cells.ndim == 2:  # batched (B, C) layout: shardable
+                b = cells.shape[0]
+                pad = (-b) % n_dev
+                if pad:
+                    # zero rows are valid dead frames (key == 0 lanes)
+                    def _pad(x):
+                        x = jnp.asarray(x)
+                        return jnp.concatenate(
+                            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+                    cells, keys, dens = _pad(cells), _pad(keys), _pad(dens)
+                dets, masks = infer_cells_batched(params, state, quant,
+                                                  cells, keys, dens)
+            else:  # flat layout: single-device, traced at the full batch cap
+                if mesh is not None:
+                    raise ValueError(
+                        "flat COO batches cannot shard over a mesh — use a "
+                        "cells_batched loader for mesh serving")
+                dets, masks = infer_cells_flat(
+                    params, state, quant, int(batch_cap or batch_n),
+                    cells, keys, dens)
+            return dets[:n], masks[:n]
 
         return infer
 
@@ -183,7 +229,8 @@ def evaluate_map(
             dets, masks = infer_fn(
                 params, state, jnp.asarray(batch["cells"]),
                 jnp.asarray(batch["cell_keys"]),
-                jnp.asarray(batch["cell_dens"]), batch["batch"])
+                jnp.asarray(batch["cell_dens"]), batch["batch"],
+                batch.get("batch_cap", batch["batch"]))
         elif "image" in batch:
             images = jnp.asarray(batch["image"])
             img_size = float(images.shape[1])

@@ -35,11 +35,12 @@ def rate(loader) -> float:
     while frames < N_BATCHES * BATCH:
         loader.set_epoch(done)
         for batch in loader:
-            key = "image" if "image" in batch else "points"
+            n = (batch["batch"] if "cells" in batch
+                 else batch["image" if "image" in batch else "points"].shape[0])
             if t0 is None:  # first batch is pipeline fill — start after it
                 t0 = time.perf_counter()
             else:
-                frames += batch[key].shape[0]
+                frames += n
             if frames >= N_BATCHES * BATCH:
                 break
         done += 1
@@ -49,7 +50,8 @@ def rate(loader) -> float:
 def main():
     with tempfile.TemporaryDirectory() as root:
         synthetic.generate_kitti_dataset(root, num_train=N_SAMPLES,
-                                         num_val=2, num_test=2, seed=0)
+                                         num_val=N_SAMPLES, num_test=2,
+                                         seed=0)
         for name, kw in (
             ("plain", {}),
             ("mosaic", {"mosaic": True, "random_padding": True,
@@ -61,6 +63,27 @@ def main():
             loader = create_train_loader(root, BATCH, num_samples=N_SAMPLES,
                                          **kw)
             print(f"{name:16s} {rate(loader):7.1f} frames/s", flush=True)
+
+        # COO serving supply (VERDICT r3 #3a): the from_cells eval path pays
+        # per-batch host aggregation — its sustained samples/s bounds the
+        # achievable end-to-end from_cells throughput on this host.
+        from complex_yolov4_tpu import native
+        from complex_yolov4_tpu.data.loader import create_val_loader
+
+        for name, avail in (("cells-native", True), ("cells-numpy", False)):
+            if avail and not native.is_available():
+                print(f"{name:16s} (native lib unavailable)")
+                continue
+            orig = native.is_available
+            native.is_available = lambda: avail  # force the arm's path
+            try:
+                loader = create_val_loader(root, BATCH,
+                                           num_samples=N_SAMPLES,
+                                           device_raster=True,
+                                           cells_raster=True)
+                print(f"{name:16s} {rate(loader):7.1f} frames/s", flush=True)
+            finally:
+                native.is_available = orig
 
 
 if __name__ == "__main__":

@@ -204,3 +204,17 @@ def test_evaluate_cli_quantized(kitti_root, capsys):
           "--quantize", "int8", "--calib_batches", "1"])
     out = capsys.readouterr().out
     assert "PTQ int8" in out and "mAP" in out
+
+
+def test_evaluate_cli_cells_raster(kitti_root, capsys):
+    """--cells_raster end-to-end through the eval CLI (the one COO surface
+    no test touched: calib-loader twin, batch_cap tail wiring). num_samples
+    (1) < batch_size (2) so the only batch IS a remainder — it must serve
+    through the padded full-batch program, not retrace."""
+    from complex_yolov4_tpu.cli.evaluate import main
+
+    main(["--dataset_dir", kitti_root, "--model", "complex_yolov4_tiny",
+          "--num_samples", "1", "--batch_size", "2", "--cells_raster",
+          "--compute_dtype", "float32"])
+    out = capsys.readouterr().out
+    assert "mAP" in out

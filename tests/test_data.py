@@ -503,3 +503,118 @@ def test_val_loader_cells_raster_batches():
             assert err[..., 2].max() == 0.0
             got_frames += 1
     assert got_frames == 3
+
+
+def test_bev_coo_batched_matches_flat(scene):
+    """The shardable batched (B, C) COO layout must produce the same BEV as
+    the flat layout (which is itself parity-tested against the host raster),
+    including zero-padded pad frames rastering as empty."""
+    import jax.numpy as jnp
+
+    points, _, _ = scene
+    rng = np.random.default_rng(11)
+    clouds = []
+    for b in range(3):
+        sub = points[rng.uniform(size=points.shape[0]) < (0.3 + 0.25 * b)]
+        clouds.append(bev.remove_points_outside(sub))
+    cells_l, keys_l = zip(*[bev.aggregate_bev_cells(c) for c in clouds])
+    cap = sum(len(c) for c in cells_l) + 64
+    fc, fk, fd = bev.pack_cells_flat(list(cells_l), list(keys_l), cap,
+                                     total_frames=4)
+    want = np.asarray(bev.make_bev_map_from_cells(
+        jnp.asarray(fc), jnp.asarray(fk), jnp.asarray(fd), 4))
+    per_frame = max(len(c) for c in cells_l) + 16
+    bc, bk, bd = bev.pack_cells_batched(list(cells_l), list(keys_l),
+                                        per_frame, total_frames=4)
+    got = np.asarray(bev.make_bev_map_from_cells_batched(
+        jnp.asarray(bc), jnp.asarray(bk), jnp.asarray(bd)))
+    np.testing.assert_array_equal(got, want)
+    assert got[3].max() == 0.0  # pad frame rasters empty
+
+
+def test_val_loader_cells_batched_and_capacity():
+    """cells_batched loaders emit (batch_cap, C) batches with frame-local
+    ids; the derived per-frame cell capacity covers the workload (no drops
+    on the split it was estimated from); a tail batch is padded to the full
+    batch_cap so the serving program never retraces."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from complex_yolov4_tpu.data import synthetic
+    from complex_yolov4_tpu.data.loader import create_val_loader
+
+    root = tempfile.mkdtemp(prefix="cells_val_b_")
+    synthetic.generate_kitti_dataset(root, num_train=1, num_val=3,
+                                     num_test=1, seed=5)
+    lb = create_val_loader(root, 2, device_raster=True, cells_raster=True,
+                           cells_batched=True)
+    lf = create_val_loader(root, 2, device_raster=True, cells_raster=True)
+    batches_b = list(lb)
+    batches_f = list(lf)
+    assert lb.cell_capacity is not None and lb.cell_capacity > 0
+    assert lb._dropped_cells == 0 and lf._dropped_cells == 0
+    for bb, bf in zip(batches_b, batches_f):
+        assert bb["cells"].shape == (2, lb.cell_capacity)
+        assert bb["batch_cap"] == 2 and bf["batch_cap"] == 2
+        np.testing.assert_array_equal(bb["targets"], bf["targets"])
+        got = np.asarray(bev.make_bev_map_from_cells_batched(
+            jnp.asarray(bb["cells"]), jnp.asarray(bb["cell_keys"]),
+            jnp.asarray(bb["cell_dens"])))
+        want = np.asarray(bev.make_bev_map_from_cells(
+            jnp.asarray(bf["cells"]), jnp.asarray(bf["cell_keys"]),
+            jnp.asarray(bf["cell_dens"]), 2))
+        np.testing.assert_array_equal(got, want)
+    # tail batch: 3 frames at batch 2 -> second batch has 1 live frame but
+    # full-capacity arrays (frame 1 empty)
+    tail = batches_b[-1]
+    assert tail["batch"] == 1 and tail["cells"].shape[0] == 2
+    assert (tail["cell_keys"][1] == 0).all()
+
+
+def test_val_loader_cell_truncation_reported(recwarn):
+    """A too-small explicit cell_capacity must warn and count dropped cells
+    (silent truncation would bias eval)."""
+    import tempfile
+    import warnings as _w
+
+    from complex_yolov4_tpu.data import synthetic
+    from complex_yolov4_tpu.data.loader import create_val_loader
+
+    root = tempfile.mkdtemp(prefix="cells_val_t_")
+    synthetic.generate_kitti_dataset(root, num_train=1, num_val=2,
+                                     num_test=1, seed=7)
+    loader = create_val_loader(root, 2, device_raster=True,
+                               cells_raster=True, cell_capacity=64)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        batches = list(loader)
+    assert len(batches) == 1
+    msgs = [str(w.message) for w in caught]
+    assert any("dropping" in m for m in msgs)
+    assert any("dropped" in m and "total this epoch" in m for m in msgs)
+
+
+def test_clustered_scene_statistics():
+    """The clustered (lidar-beam) scene mode must actually cluster: markedly
+    fewer occupied cells per point than the diffuse sampler, with realistic
+    in-boundary point counts (the COO capacity-policy validation workload)."""
+    from complex_yolov4_tpu.data import synthetic
+
+    stats = {}
+    for mode in (False, True):
+        pts_n, cell_n = [], []
+        for s in range(3):
+            p, boxes, classes = synthetic.sample_scene(
+                np.random.default_rng(s), clustered=mode)
+            assert len(boxes) == len(classes) > 0
+            c = bev.remove_points_outside(p)
+            cells, keys = bev.aggregate_bev_cells(c)
+            pts_n.append(len(c))
+            cell_n.append(len(cells))
+        stats[mode] = (np.mean(pts_n), np.mean(cell_n))
+    diffuse_ratio = stats[False][1] / stats[False][0]
+    clustered_ratio = stats[True][1] / stats[True][0]
+    assert clustered_ratio < 0.75 * diffuse_ratio, (diffuse_ratio,
+                                                    clustered_ratio)
+    assert 10_000 < stats[True][0] < 26_000  # realistic KITTI crop size

@@ -502,8 +502,61 @@ def test_from_cells_inference_matches_image_path():
     np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_i),
                                atol=1e-4, rtol=1e-4)
 
-    # mesh + from_cells must be rejected (flat buffer is not shardable)
+    # A FLAT cell batch cannot shard over a mesh — the fn accepts the mesh
+    # (for batched (B, C) inputs) but must reject flat input at call time.
     from complex_yolov4_tpu.parallel import make_mesh
+    infer_mesh = make_inference_fn(spec, from_cells=True, img_size=96,
+                                   mesh=make_mesh(jax.devices()[:1]))
     with pytest.raises(ValueError):
-        make_inference_fn(spec, from_cells=True,
-                          mesh=make_mesh(jax.devices()[:1]))
+        infer_mesh(params, state, jnp.asarray(cells), jnp.asarray(keys),
+                   jnp.asarray(dens), 2)
+
+
+def test_from_cells_batched_and_mesh_match_flat():
+    """The batched (B, C) COO layout must produce the same detections as the
+    flat layout — unsharded AND sharded over an 8-device data mesh — and a
+    tail batch served through the full-batch program (batch_cap) must equal
+    the detections of a program traced at the live count (no-recompile
+    serving path, VERDICT r3 weak #7)."""
+    from complex_yolov4_tpu.data import bev as bev_mod
+    from complex_yolov4_tpu.data import synthetic
+    from complex_yolov4_tpu.evaluation import make_inference_fn
+    from complex_yolov4_tpu.parallel import make_mesh
+
+    spec = get_model_spec("complex_yolov4_tiny", width=96, height=96)
+    params, state = net.init_params(spec, jax.random.PRNGKey(0))
+    clouds = [bev_mod.remove_points_outside(
+        synthetic.sample_scene(np.random.default_rng(s))[0])
+        for s in range(3)]
+    cl, kl = zip(*[bev_mod.aggregate_bev_cells(c) for c in clouds])
+    per_frame = max(len(c) for c in cl) + 32
+
+    # flat reference at full capacity (batch_cap 4, 3 live frames = a tail)
+    cap = 4 * per_frame
+    fcells, fkeys, fdens = bev_mod.pack_cells_flat(
+        list(cl), list(kl), cap, total_frames=4)
+    infer_flat = make_inference_fn(spec, conf_thresh=0.01, nms_thresh=0.5,
+                                   max_boxes=16, from_cells=True, img_size=96)
+    d_f, m_f = infer_flat(params, state, jnp.asarray(fcells),
+                          jnp.asarray(fkeys), jnp.asarray(fdens), 3, 4)
+    assert d_f.shape[0] == 3 and m_f.shape[0] == 3
+
+    # batched layout, single device
+    bcells, bkeys, bdens = bev_mod.pack_cells_batched(
+        list(cl), list(kl), per_frame, total_frames=4)
+    d_b, m_b = infer_flat(params, state, jnp.asarray(bcells),
+                          jnp.asarray(bkeys), jnp.asarray(bdens), 3, 4)
+    np.testing.assert_allclose(np.asarray(m_b), np.asarray(m_f))
+    np.testing.assert_allclose(np.asarray(d_b), np.asarray(d_f),
+                               atol=1e-4, rtol=1e-4)
+
+    # batched layout sharded over the full 8-device mesh
+    mesh = make_mesh(jax.devices())
+    infer_mesh = make_inference_fn(spec, conf_thresh=0.01, nms_thresh=0.5,
+                                   max_boxes=16, from_cells=True,
+                                   img_size=96, mesh=mesh)
+    d_m, m_m = infer_mesh(params, state, jnp.asarray(bcells),
+                          jnp.asarray(bkeys), jnp.asarray(bdens), 3, 4)
+    np.testing.assert_allclose(np.asarray(m_m), np.asarray(m_f))
+    np.testing.assert_allclose(np.asarray(d_m), np.asarray(d_f),
+                               atol=1e-4, rtol=1e-4)
