@@ -36,25 +36,72 @@ _CLASS_NAMES = {0: "Car", 1: "Pedestrian", 2: "Cyclist"}
 _GROUND_Z = -1.73  # velodyne sensor height above ground
 
 
+def _lidar_ground(rng: np.random.Generator) -> np.ndarray:
+    """Spinning-lidar ground returns: rays from discrete elevation beams at
+    fixed azimuth steps intersected with the ground plane. Reproduces the
+    ring structure of real scans — many points per BEV cell near the sensor,
+    sparse far out — which is what makes real KITTI clouds CLUSTER (far
+    fewer occupied cells than points), unlike the uniform sampler below
+    (~0.9 cells/point, PERF.md r3 batch-4)."""
+    elev = np.deg2rad(np.linspace(-24.8, -1.0, 56))          # downward beams
+    az = np.deg2rad(np.arange(-60.0, 60.0, 0.42))            # front sector
+    e, a = np.meshgrid(elev, az, indexing="ij")
+    e = e + rng.normal(0.0, 2e-4, e.shape)                   # beam jitter
+    a = a + rng.normal(0.0, 2e-4, a.shape)
+    r = (-_GROUND_Z) / np.tan(-e)                            # ground range
+    keep = (r > 2.0) & (r < 70.0)
+    r, a = r[keep], a[keep]
+    x = r * np.cos(a)
+    y = r * np.sin(a)
+    z = _GROUND_Z + rng.normal(0.0, 0.02, r.shape)
+    i = rng.uniform(0.05, 0.3, r.shape)
+    return np.stack([x, y, z, i], axis=-1)
+
+
 def sample_scene(rng: np.random.Generator, max_objects: int = 10,
-                 n_ground: int = 12000, n_clutter: int = 1500):
+                 n_ground: int = 12000, n_clutter: int = 1500,
+                 clustered: bool = False):
     """One synthetic scene -> (points (N,4) float32, lidar boxes (M,7), cls (M,)).
 
     Lidar boxes are (x, y, z_center, h, w, l, rz) in the velodyne frame.
+
+    clustered=True swaps the uniform ground/clutter for a spinning-lidar
+    beam model (ring structure, dense near returns) plus a few vertical
+    surfaces — the point-per-cell statistics of real KITTI scans, for
+    validating the COO raster's capacity policy (VERDICT r3 #6). Object
+    clusters are also denser, scaled by 1/range as a real scanner sees them.
     """
     pts: List[np.ndarray] = []
 
-    gx = rng.uniform(0.0, 52.0, n_ground)
-    gy = rng.uniform(-26.0, 26.0, n_ground)
-    gz = _GROUND_Z + rng.normal(0.0, 0.03, n_ground)
-    gi = rng.uniform(0.05, 0.3, n_ground)
-    pts.append(np.stack([gx, gy, gz, gi], axis=-1))
+    if clustered:
+        pts.append(_lidar_ground(rng))
+        # vertical surfaces (walls / vegetation): dense planar patches
+        for _ in range(int(rng.integers(2, 6))):
+            px = rng.uniform(8.0, 48.0)
+            py = rng.uniform(-22.0, 22.0)
+            width = rng.uniform(2.0, 10.0)
+            height = rng.uniform(1.0, 3.0)
+            yaw = rng.uniform(-np.pi, np.pi)
+            n = int(np.clip(2000.0 * width * height / max(px, 4.0), 100, 1200))
+            u = rng.uniform(-0.5, 0.5, n) * width
+            v = rng.uniform(0.0, 1.0, n) * height
+            wx = px + u * np.cos(yaw)
+            wy = py + u * np.sin(yaw)
+            wz = _GROUND_Z + v + rng.normal(0.0, 0.01, n)
+            wi = rng.uniform(0.1, 0.6, n)
+            pts.append(np.stack([wx, wy, wz, wi], axis=-1))
+    else:
+        gx = rng.uniform(0.0, 52.0, n_ground)
+        gy = rng.uniform(-26.0, 26.0, n_ground)
+        gz = _GROUND_Z + rng.normal(0.0, 0.03, n_ground)
+        gi = rng.uniform(0.05, 0.3, n_ground)
+        pts.append(np.stack([gx, gy, gz, gi], axis=-1))
 
-    cx = rng.uniform(0.0, 52.0, n_clutter)
-    cy = rng.uniform(-26.0, 26.0, n_clutter)
-    cz = rng.uniform(_GROUND_Z, 1.2, n_clutter)
-    ci = rng.uniform(0.0, 1.0, n_clutter)
-    pts.append(np.stack([cx, cy, cz, ci], axis=-1))
+        cx = rng.uniform(0.0, 52.0, n_clutter)
+        cy = rng.uniform(-26.0, 26.0, n_clutter)
+        cz = rng.uniform(_GROUND_Z, 1.2, n_clutter)
+        ci = rng.uniform(0.0, 1.0, n_clutter)
+        pts.append(np.stack([cx, cy, cz, ci], axis=-1))
 
     n_obj = int(rng.integers(1, max_objects + 1))
     boxes = []
@@ -71,7 +118,11 @@ def sample_scene(rng: np.random.Generator, max_objects: int = 10,
         yaw = rng.uniform(-np.pi, np.pi)
 
         # Surface points on the box (denser for bigger boxes, lidar-ish).
-        n_pts = int(np.clip(40 * w * l * h, 60, 500))
+        # Clustered mode: density falls with range like a real scanner.
+        if clustered:
+            n_pts = int(np.clip(2500 * w * l * h / max(x, 4.0), 80, 1500))
+        else:
+            n_pts = int(np.clip(40 * w * l * h, 60, 500))
         face = rng.integers(0, 5, n_pts)  # 4 sides + top
         u = rng.uniform(-0.5, 0.5, n_pts)
         v = rng.uniform(-0.5, 0.5, n_pts)

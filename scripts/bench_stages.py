@@ -13,6 +13,7 @@ Usage: python scripts/bench_stages.py [--quant none] [--nms_k 128]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -66,8 +67,11 @@ def main() -> None:
 
     # flat-packed layout (bench default): one shared buffer + frame ids
     flat_cap = batch * 14336
+    clustered = os.environ.get("BENCH_SCENE", "diffuse") == "clustered"
+    print(f"scene={'clustered' if clustered else 'diffuse'}", file=sys.stderr)
     clouds = [bev_mod.remove_points_outside(
-        synthetic.sample_scene(np.random.default_rng(b))[0])
+        synthetic.sample_scene(np.random.default_rng(b),
+                               clustered=clustered)[0])
         for b in range(batch)]
     pf, ff, mf = bev_mod.pack_points_flat(clouds, flat_cap)
     points = jnp.asarray(pf)
@@ -76,8 +80,12 @@ def main() -> None:
     if args.layout == "coo":
         cl, kl = zip(*[bev_mod.aggregate_bev_cells(c) for c in clouds])
         total_cells = sum(len(c) for c in cl)
-        coo_cap = min(max(total_cells + total_cells // 8, 1024),
-                      flat_cap)  # match bench.py
+        # Same default AND same env override as bench.py, so stage-timing
+        # arms can never silently run a different capacity than the e2e
+        # bench when BENCH_COO_CAP is pinned for a sweep.
+        coo_cap = int(os.environ.get(
+            "BENCH_COO_CAP",
+            str(min(max(total_cells + total_cells // 8, 1024), flat_cap))))
         print(f"coo: {total_cells} cells, capacity {coo_cap}",
               file=sys.stderr, flush=True)
         cc, kk, dd = bev_mod.pack_cells_flat(list(cl), list(kl), coo_cap)

@@ -33,8 +33,12 @@ HBM = 819e9
 B = 16
 
 
-def main():
-    spec = net.fold_spec(get_model_spec("complex_yolov4"))
+def compute_rows(spec, batch=B):
+    """Per-layer floor rows under the bench dtype policy. Each row:
+    (layer_index, description, macs, bytes, t_compute_s, t_bandwidth_s,
+    t_floor_s, is_int8). Importable (scripts/bench_prefix.py compares the
+    measured in-network per-layer costs against these floors)."""
+    B = batch
     chans = spec.out_channels()
     strides = spec.out_strides()
     size = spec.height
@@ -75,6 +79,14 @@ def main():
             bytes_ = B * h * h * c * 2 * 2  # concat: read + write
             rows.append((i, "route-concat", 0, bytes_, 0.0, bytes_ / HBM,
                          bytes_ / HBM, False))
+    return rows
+
+
+def main():
+    spec = net.fold_spec(get_model_spec("complex_yolov4"))
+    size = spec.height
+    chans = spec.out_channels()
+    rows = compute_rows(spec, B)
 
     total_macs = sum(r[2] for r in rows)
     total_floor = sum(r[6] for r in rows)
@@ -92,7 +104,7 @@ def main():
         buck[res][3] += 1
 
     print(f"batch {B} @ {size}; total conv MACs {total_macs/1e9:.1f} G "
-          f"({2*total_macs/1e12/B:.1f} GFLOP/frame x2)")
+          f"({2*total_macs/1e9/B:.1f} GFLOP/frame)")
     print(f"layer-by-layer floor: {total_floor*1e3:7.2f} ms/batch "
           f"(compute-sum {total_comp*1e3:.2f}, bandwidth-sum {total_bw*1e3:.2f})")
     print("\nper-resolution floors (ms, layer-by-layer):")
