@@ -115,9 +115,15 @@ def main() -> None:
                   "using default (off)", file=sys.stderr)
         defer_concat = False
     print(f"defer_route_concat={defer_concat} raster_layout={layout} "
-          f"scene={'clustered' if clustered else 'diffuse'}",
+          f"scene={'clustered' if clustered else 'diffuse'} "
+          f"s2d={os.environ.get('BENCH_S2D', '') or 'off'}"
+          f" bpack={os.environ.get('BENCH_BPACK', '0')}"
+          f"{'/end' + os.environ.get('BENCH_S2D_END') if os.environ.get('BENCH_S2D_END') else ''}",
           file=sys.stderr)
     s2d_variant = os.environ.get("BENCH_S2D", "") or None
+    # BENCH_BPACK=p: batch-packed early segment (models/bpack.py) — p frames
+    # folded into channels over the early backbone, block-diagonal kernels.
+    bpack_p = int(os.environ.get("BENCH_BPACK", "0")) or None
     # int8 PTQ is the default serving config: accuracy-gated on a trained
     # flagship checkpoint over the 64-frame held-out val split (PERF.md r2
     # gate: int8-over-bf16 mAP 0.4767 vs f32 0.4755 — |dmAP| well inside the
@@ -142,7 +148,11 @@ def main() -> None:
                 for i in range(2)
             ])
             # BENCH_QUANT_MODE: default (per-layer skip heuristic) | all
-            # (only head convs kept bf16) | late<N> (C_in >= N only).
+            # (only head convs kept bf16) | late<N> (C_in >= N only) |
+            # stem (default + conv0/conv1) | hot (default + the r4
+            # attribution table's hot layers 0,1,5,6,8 — the early convs
+            # whose time is 128-lane padding, where int8's 2x MXU rate
+            # halves the padded passes and 0->1 / 5->6 chain).
             mode = os.environ.get("BENCH_QUANT_MODE", "default")
             skip = None
             if mode == "all":
@@ -154,6 +164,9 @@ def main() -> None:
                 for i, layer in enumerate(fspec.layers):
                     if isinstance(layer, ConvSpec) and chans[i] < thresh:
                         skip.add(i)
+            elif mode in ("stem", "hot"):
+                skip = qz.default_skip(fspec) - (
+                    {0, 1} if mode == "stem" else {0, 1, 5, 6, 8})
             quant = qz.quantize_model(fspec, fparams, [calib], skip=skip)
             print(f"quant mode={mode}: {len(quant)} convs", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — bench must still report bf16
@@ -168,7 +181,8 @@ def main() -> None:
             decoded, _ = net.apply(fspec, params, {}, images,
                                    compute_dtype=jnp.bfloat16,
                                    s2d_early=s2d_variant, quant=quant,
-                                   defer_route_concat=defer_concat)
+                                   defer_route_concat=defer_concat,
+                                   batch_pack=bpack_p)
             return nms_batch(decoded, 0.5, 0.5, nms_k)
 
         args = (jnp.asarray(cells_flat), jnp.asarray(ckeys_flat),
@@ -181,7 +195,8 @@ def main() -> None:
             decoded, _ = net.apply(fspec, params, {}, images,
                                    compute_dtype=jnp.bfloat16,
                                    s2d_early=s2d_variant, quant=quant,
-                                   defer_route_concat=defer_concat)
+                                   defer_route_concat=defer_concat,
+                                   batch_pack=bpack_p)
             return nms_batch(decoded, 0.5, 0.5, nms_k)
 
         args = (jnp.asarray(pts_flat), jnp.asarray(fid_flat),
@@ -194,7 +209,8 @@ def main() -> None:
             decoded, _ = net.apply(fspec, params, {}, images,
                                    compute_dtype=jnp.bfloat16,
                                    s2d_early=s2d_variant, quant=quant,
-                                   defer_route_concat=defer_concat)
+                                   defer_route_concat=defer_concat,
+                                   batch_pack=bpack_p)
             return nms_batch(decoded, 0.5, 0.5, nms_k)
 
         args = (jnp.asarray(pts_batch), jnp.asarray(msk_batch))

@@ -27,6 +27,7 @@ import numpy as np
 from ..ops import fused_stage as fused_mod
 from ..ops import pallas_conv
 from . import bn_train as bn_train_mod
+from . import bpack as bpack_mod
 from . import s2d as s2d_mod
 from .spec import ConvSpec, MaxPoolSpec, NetSpec, RouteSpec, ShortcutSpec, UpsampleSpec, YoloSpec
 from .yolo_head import decode_head
@@ -202,6 +203,7 @@ def apply(
     capture_act_max: bool = False,
     defer_route_concat: bool = False,
     stop_after: Optional[int] = None,
+    batch_pack: Optional[int] = None,
 ):
     """Run the network.
 
@@ -226,6 +228,12 @@ def apply(
 
     capture_act_max: additionally return {layer_key: max|conv input|} as the
     last element (calibration support, models/quantize.py).
+
+    batch_pack: pack `batch_pack` frames into the channel dim over the early
+    backbone (block-diagonal kernels, exact — see models/bpack.py): the
+    early convs' MXU time is 128-lane channel padding, and packing divides
+    their row count p-fold. Inference only; inert alongside s2d / fused
+    segments / calibration, and when the batch is not divisible.
 
     stop_after: truncate the network after layer index `stop_after` and
     return (live_tensors, decoded_heads) instead of the normal structure —
@@ -278,6 +286,16 @@ def apply(
         chain = _qz.chain_set(spec, quant.keys())
     chans = (spec.in_channels,) + spec.out_channels()
 
+    # Batch-packed early segment (models/bpack.py): interior activations
+    # carry p frames in the channel dim; entry packs, the segment-end layer
+    # unpacks, quantized convs never overlap (plan excludes them).
+    bp = None
+    if (batch_pack and not train and seg is None and not fused_by_start
+            and not capture_act_max and x.shape[0] % batch_pack == 0):
+        bp = bpack_mod.plan_segment(spec, batch_pack,
+                                    (quant or {}).keys())
+    bp_end = bp[1] if bp else -1
+
     # Multi-input routes whose sole consumer is the following 1x1 conv never
     # materialize: the conv runs weight-sliced over the parts (_PartsConcat).
     # Inference only; covers every CSP-transition / SPP / PAN concat.
@@ -294,6 +312,7 @@ def apply(
                     and spec.layers[r + 1].size == 1
                     and last_use[r] == r + 1
                     and (seg is None or not (seg[0] <= r + 1 <= seg[1]))
+                    and r > bp_end
                     and (r + 1) not in fused_by_start):
                 defer_routes.add(r)
 
@@ -371,6 +390,9 @@ def apply(
             else:
                 outputs.append(None)
             continue
+        if bp is not None and i == 0:
+            h = bpack_mod.pack(h, batch_pack)
+        in_bp = bp is not None and i <= bp_end
         if isinstance(layer, ConvSpec):
             p = params.get(f"layer{i}")
             pad = (layer.size - 1) // 2 if layer.pad else 0
@@ -435,6 +457,7 @@ def apply(
             if (
                 use_pallas_conv
                 and not train
+                and not in_bp
                 and layer.size == 3
                 and layer.pad
                 and pallas_conv.supported(
@@ -463,6 +486,9 @@ def apply(
                 continue
             if isinstance(h, _PartsConcat):
                 h = _split_conv(h, p["w"], layer.stride, pad, compute_dtype)
+            elif in_bp:
+                h = _conv(h, bpack_mod.pack_kernel(p["w"], batch_pack),
+                          layer.stride, pad, compute_dtype)
             else:
                 h = _conv(h, p["w"], layer.stride, pad, compute_dtype)
             # Inference epilogue runs in compute dtype (the f32 MXU
@@ -501,9 +527,15 @@ def apply(
                     mean, var = st["mean"], st["var"]
                 if not normalized:
                     inv = jax.lax.rsqrt(var + BN_EPS) * p["bn_scale"]
-                    h = h * inv.astype(h.dtype) + (p["bn_bias"] - mean * inv).astype(h.dtype)
+                    scale, shift = inv, p["bn_bias"] - mean * inv
+                    if in_bp:
+                        scale = bpack_mod.pack_channel_vec(scale, batch_pack)
+                        shift = bpack_mod.pack_channel_vec(shift, batch_pack)
+                    h = h * scale.astype(h.dtype) + shift.astype(h.dtype)
             else:
-                h = h + p["b"].astype(h.dtype)
+                bias = (bpack_mod.pack_channel_vec(p["b"], batch_pack)
+                        if in_bp else p["b"])
+                h = h + bias.astype(h.dtype)
             h = _act(h, layer.activation)
             h = h.astype(compute_dtype)
         elif isinstance(layer, MaxPoolSpec):
@@ -511,7 +543,20 @@ def apply(
         elif isinstance(layer, UpsampleSpec):
             h = _upsample(h, layer.stride)
         elif isinstance(layer, RouteSpec):
-            if len(layer.layers) == 1:
+            if in_bp:
+                if len(layer.layers) == 1:
+                    src = outputs[layer.layers[0]]
+                    if layer.groups > 1:
+                        h = bpack_mod.packed_group_slice(
+                            src, chans[layer.layers[0] + 1], layer.groups,
+                            layer.group_id, batch_pack)
+                    else:
+                        h = src
+                else:
+                    h = bpack_mod.packed_concat(
+                        [outputs[j] for j in layer.layers],
+                        [chans[j + 1] for j in layer.layers], batch_pack)
+            elif len(layer.layers) == 1:
                 src = outputs[layer.layers[0]]
                 if layer.groups > 1:
                     c = src.shape[-1] // layer.groups
@@ -530,6 +575,8 @@ def apply(
             head_raw.append(raw)
             decoded_heads.append(raw["output"])
             h = outputs[i - 1]
+        if bp is not None and i == bp_end:
+            h = bpack_mod.unpack(h, batch_pack)  # segment exit
         outputs.append(h)
         # Drop dead activations so XLA's buffer liveness matches ours.
         for j in range(i + 1):

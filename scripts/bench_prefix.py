@@ -125,6 +125,8 @@ def main() -> None:
                     help="time grad of the truncated scalar (training config)")
     ap.add_argument("--csv", default="")
     ap.add_argument("--model", default="complex_yolov4")
+    ap.add_argument("--bpack", type=int, default=0,
+                    help="batch_pack factor for the prefix (0 = off)")
     ap.add_argument("--img_size", type=int, default=0,
                     help="override input size (CPU smoke: 96)")
     args = ap.parse_args()
@@ -173,8 +175,8 @@ def main() -> None:
             quant = qz.quantize_model(run_spec, run_params, [images[:2]])
         run_params = net.cast_conv_params(run_params)
         compute_dtype = jnp.bfloat16
-        mode_desc = (f"forward, bf16, quant={args.quant}, batch {batch} "
-                     "(bench-default serving config)")
+        mode_desc = (f"forward, bf16, quant={args.quant}, batch {batch}, "
+                     f"bpack={args.bpack} (bench-default serving config)")
 
     x = jnp.asarray(images)
     run_params = jax.device_put(run_params)
@@ -208,7 +210,7 @@ def main() -> None:
 
         f = jax.jit(lambda p, q, xx: scalar_of(*net.apply(
             run_spec, p, run_state, xx, compute_dtype=compute_dtype,
-            quant=q, stop_after=k)))
+            quant=q, stop_after=k, batch_pack=args.bpack or None)))
         return lambda: f(run_params, quant, x)
 
     print(f"# prefix attribution: {mode_desc}; {len(layer_ids)} boundaries",

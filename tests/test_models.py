@@ -269,3 +269,93 @@ def test_cast_conv_params_skips_unfolded_convs():
             saw_bias = True
             assert p["w"].dtype == jnp.bfloat16 and p["b"].dtype == jnp.bfloat16
     assert saw_unfolded and saw_bias
+
+
+def test_batch_pack_matches_plain():
+    """Batch-packed early-segment execution (models/bpack.py) must equal the
+    plain path: bit-exact in f32 (block-diagonal padding contributes exact
+    +0.0 in the accumulator), within float noise in bf16. Covers folded
+    (bench) and unfolded (BN-affine tiling) params and both plan shapes
+    (p=2 long segment, p=4 stem-only)."""
+    import numpy as np
+
+    from complex_yolov4_tpu.models import bpack
+
+    spec = get_model_spec("complex_yolov4", width=160, height=160)
+    params, state = net.init_params(spec, jax.random.PRNGKey(0))
+    fparams = net.fold_batchnorm(spec, params, state)
+    fspec = net.fold_spec(spec)
+    assert bpack.plan_segment(fspec, 2) == (0, 22)
+    assert bpack.plan_segment(fspec, 4) == (0, 9)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 160, 160, 3))
+
+    run = jax.jit(
+        lambda p, xx, bpk: net.apply(fspec, p, {}, xx,
+                                     compute_dtype=jnp.float32,
+                                     use_pallas_conv=False,
+                                     batch_pack=bpk)[0],
+        static_argnums=2)
+    a = np.asarray(run(fparams, x, None))
+    np.testing.assert_array_equal(np.asarray(run(fparams, x, 2)), a)
+    np.testing.assert_array_equal(np.asarray(run(fparams, x, 4)), a)
+
+    runb = jax.jit(
+        lambda p, xx, bpk: net.apply(fspec, p, {}, xx,
+                                     compute_dtype=jnp.bfloat16,
+                                     use_pallas_conv=False,
+                                     batch_pack=bpk)[0],
+        static_argnums=2)
+    ab = np.asarray(runb(fparams, x, None), np.float32)
+    bb = np.asarray(runb(fparams, x, 2), np.float32)
+    np.testing.assert_allclose(bb, ab, atol=1e-6, rtol=1e-5)
+
+    # unfolded params: the BN inference affine tiles per frame block
+    run_u = jax.jit(
+        lambda p, s, xx, bpk: net.apply(spec, p, s, xx,
+                                        compute_dtype=jnp.float32,
+                                        use_pallas_conv=False,
+                                        batch_pack=bpk)[0],
+        static_argnums=3)
+    u0 = np.asarray(run_u(params, state, x, None))
+    np.testing.assert_array_equal(np.asarray(run_u(params, state, x, 2)), u0)
+
+    # indivisible batch: packing must be inert, output unchanged
+    x3 = x[:3]
+    np.testing.assert_array_equal(np.asarray(run(fparams, x3, 2)),
+                                  np.asarray(run(fparams, x3, None)))
+
+
+def test_batch_pack_with_quant_tree():
+    """batch_pack composes with the int8 default set: no quantized conv sits
+    inside the packed segment (plan excludes them), and outputs match the
+    unpacked quantized run.
+
+    Tolerance note: convs whose packed C_in exceeds 128 split the
+    contraction into more K-tiles, which can reorder the f32 accumulation by
+    ~1 ulp; an int8 quantizer downstream can then round one activation to
+    the adjacent bucket. The box decode is compared with a tolerance wide
+    enough for one bucket flip (the serving accuracy contract is the mAP
+    gate, not bitwise identity)."""
+    import numpy as np
+
+    from complex_yolov4_tpu.models import bpack
+    from complex_yolov4_tpu.models import quantize as qz
+
+    spec = get_model_spec("complex_yolov4", width=128, height=128)
+    params, state = net.init_params(spec, jax.random.PRNGKey(2))
+    fparams = net.fold_batchnorm(spec, params, state)
+    fspec = net.fold_spec(spec)
+    x = np.asarray(jax.random.uniform(jax.random.PRNGKey(3), (2, 128, 128, 3)))
+    quant = qz.quantize_model(fspec, fparams, [x], compute_dtype=jnp.float32)
+    seg = bpack.plan_segment(fspec, 2, quant.keys())
+    assert seg is not None
+    assert not any(int(k[5:]) <= seg[1] for k in quant)
+    run = jax.jit(
+        lambda p, q, xx, bpk: net.apply(fspec, p, {}, xx,
+                                        compute_dtype=jnp.float32,
+                                        use_pallas_conv=False, quant=q,
+                                        batch_pack=bpk)[0],
+        static_argnums=3)
+    a = np.asarray(run(fparams, quant, jnp.asarray(x), None))
+    b = np.asarray(run(fparams, quant, jnp.asarray(x), 2))
+    np.testing.assert_allclose(b, a, atol=0.15, rtol=0.02)
