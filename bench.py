@@ -114,16 +114,20 @@ def main() -> None:
             print(f"BENCH_DEFER_CONCAT={defer_env!r} unrecognized; "
                   "using default (off)", file=sys.stderr)
         defer_concat = False
-    print(f"defer_route_concat={defer_concat} raster_layout={layout} "
-          f"scene={'clustered' if clustered else 'diffuse'} "
-          f"s2d={os.environ.get('BENCH_S2D', '') or 'off'}"
-          f" bpack={os.environ.get('BENCH_BPACK', '0')}"
-          f"{'/end' + os.environ.get('BENCH_S2D_END') if os.environ.get('BENCH_S2D_END') else ''}",
-          file=sys.stderr)
     s2d_variant = os.environ.get("BENCH_S2D", "") or None
     # BENCH_BPACK=p: batch-packed early segment (models/bpack.py) — p frames
     # folded into channels over the early backbone, block-diagonal kernels.
-    bpack_p = int(os.environ.get("BENCH_BPACK", "0")) or None
+    # DEFAULT 2 since r4: 562.3/567.5/565.6 f/s over three reps vs the 507.5
+    # same-session unpacked anchor (+11%, /tmp/r4_attr logs), then 620.1 with
+    # the parts-ordered packed-concat kernels (/tmp/r4b2); exact transform,
+    # bit-compared to the plain path in tests/test_models.py. 0 disables.
+    bpack_p = int(os.environ.get("BENCH_BPACK", "2")) or None
+    print(f"defer_route_concat={defer_concat} raster_layout={layout} "
+          f"scene={'clustered' if clustered else 'diffuse'} "
+          f"s2d={s2d_variant or 'off'}"
+          f" bpack={bpack_p or 0}"
+          f"{'/end' + os.environ.get('BENCH_S2D_END') if os.environ.get('BENCH_S2D_END') else ''}",
+          file=sys.stderr)
     # int8 PTQ is the default serving config: accuracy-gated on a trained
     # flagship checkpoint over the 64-frame held-out val split (PERF.md r2
     # gate: int8-over-bf16 mAP 0.4767 vs f32 0.4755 — |dmAP| well inside the

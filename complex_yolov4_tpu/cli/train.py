@@ -96,7 +96,8 @@ def main(argv=None) -> None:
     step = T.make_train_step(
         spec, tx, use_giou_loss=configs.use_giou_loss,
         compute_dtype=common.compute_dtype_of(configs), mesh=mesh,
-        remat=configs.remat, device_raster=device_raster, metrics_cond=True)
+        remat=configs.remat, device_raster=device_raster, metrics_cond=True,
+        batch_pack=configs.batch_pack or None)
     lr_fn = T.make_lr_fn(configs.lr_type, configs.lr, burn_in=configs.burn_in,
                          steps=configs.steps, num_epochs=configs.num_epochs)
 

@@ -81,6 +81,12 @@ class TrainConfig:
     # numerics
     compute_dtype: str = "bfloat16"         # training compute precision
     remat: bool = False                     # rematerialize fwd in bwd (memory)
+    batch_pack: int = 2                     # pack p frames into channels over
+                                            # the early backbone (exact math,
+                                            # exact per-channel BN stats —
+                                            # models/bpack.py; measured +17%
+                                            # step, PERF.md r4; 0 = off, inert
+                                            # when batch %% p != 0)
 
     # profiling (writes a JAX/xprof trace into logs_dir)
     profile_steps: int = 0                  # 0 = off; else trace N steps

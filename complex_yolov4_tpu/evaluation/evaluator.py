@@ -32,6 +32,7 @@ def make_inference_fn(
     from_points: bool = False,
     from_cells: bool = False,
     img_size: Optional[int] = None,
+    batch_pack: Optional[int] = 2,
 ) -> Callable:
     """Jitted (params, state, images) -> (detections, det_masks).
 
@@ -66,6 +67,10 @@ def make_inference_fn(
     program and the pad frames are sliced off), and the batched (B, C)
     layout (`loader cells_batched=True`) whose batch axis shards over
     `mesh` like the points path.
+
+    batch_pack: batch-packed early backbone (models/bpack.py) — exact
+    block-diagonal transform, +11% e2e on the bench program (PERF.md r4);
+    default on, inert when the batch is not divisible. None/0 disables.
     """
     from ..data import bev as bev_mod
 
@@ -82,7 +87,8 @@ def make_inference_fn(
                     images, (images.shape[0], size, size, images.shape[3]),
                     method="linear", antialias=False)
             decoded, _ = net.apply(spec, params, state, images, train=False,
-                                   compute_dtype=compute_dtype, quant=quant)
+                                   compute_dtype=compute_dtype, quant=quant,
+                                   batch_pack=batch_pack or None)
             return nms_batch(decoded, conf_thresh, nms_thresh, max_boxes)
 
         @partial(jax.jit, static_argnums=(3,))
@@ -148,7 +154,8 @@ def make_inference_fn(
         else:
             (images,) = inputs
         decoded, _ = net.apply(spec, params, state, images, train=False,
-                               compute_dtype=compute_dtype, quant=quant)
+                               compute_dtype=compute_dtype, quant=quant,
+                               batch_pack=batch_pack or None)
         return nms_batch(decoded, conf_thresh, nms_thresh, max_boxes)
 
     if mesh is None:

@@ -232,8 +232,10 @@ def apply(
     batch_pack: pack `batch_pack` frames into the channel dim over the early
     backbone (block-diagonal kernels, exact — see models/bpack.py): the
     early convs' MXU time is 128-lane channel padding, and packing divides
-    their row count p-fold. Inference only; inert alongside s2d / fused
-    segments / calibration, and when the batch is not divisible.
+    their row count p-fold. Works in inference AND training (train-mode BN
+    computes exact per-original-channel batch statistics via a free
+    minor-dim reshape); inert alongside s2d / fused segments / calibration,
+    and when the batch is not divisible.
 
     stop_after: truncate the network after layer index `stop_after` and
     return (live_tensors, decoded_heads) instead of the normal structure —
@@ -290,8 +292,11 @@ def apply(
     # carry p frames in the channel dim; entry packs, the segment-end layer
     # unpacks, quantized convs never overlap (plan excludes them).
     bp = None
-    if (batch_pack and not train and seg is None and not fused_by_start
+    if (batch_pack and seg is None and not fused_by_start
             and not capture_act_max and x.shape[0] % batch_pack == 0):
+        # Training included: the backward of a block-diagonal conv enjoys
+        # the same padded-pass halving, bn_train/the f32 stats path reduce
+        # per original channel via a free minor-dim reshape.
         bp = bpack_mod.plan_segment(spec, batch_pack,
                                     (quant or {}).keys())
     bp_end = bp[1] if bp else -1
@@ -326,6 +331,7 @@ def apply(
 
     h = x
     fused_until = -1
+    bp_parts_order = None  # set by a packed route, consumed by the next conv
     for i, layer in enumerate(spec.layers):
         if stop_after is not None and i > stop_after:
             break
@@ -486,6 +492,14 @@ def apply(
                 continue
             if isinstance(h, _PartsConcat):
                 h = _split_conv(h, p["w"], layer.stride, pad, compute_dtype)
+            elif in_bp and bp_parts_order is not None:
+                # Input is a plain concat of packed parts (see the RouteSpec
+                # branch): consume it with the parts-ordered kernel instead
+                # of paying the frame-major lane interleave.
+                h = _conv(h, bpack_mod.pack_kernel_parts(
+                    p["w"], batch_pack, bp_parts_order),
+                    layer.stride, pad, compute_dtype)
+                bp_parts_order = None
             elif in_bp:
                 h = _conv(h, bpack_mod.pack_kernel(p["w"], batch_pack),
                           layer.stride, pad, compute_dtype)
@@ -509,13 +523,21 @@ def apply(
                         # gap (PERF.md r3 batch-2 breakdown). f32 training
                         # keeps the plain autodiff path (reference parity).
                         h, mean, var = bn_train_mod.bn_train(
-                            h, p["bn_scale"], p["bn_bias"])
+                            h, p["bn_scale"], p["bn_bias"],
+                            batch_pack if in_bp else 1)
                         normalized = True
+                    elif in_bp:  # packed: stats per ORIGINAL channel
+                        h = h.astype(jnp.float32)
+                        r = h.reshape(h.shape[0], h.shape[1], h.shape[2],
+                                      batch_pack, -1)
+                        mean = jnp.mean(r, axis=(0, 1, 2, 3))
+                        var = jnp.var(r, axis=(0, 1, 2, 3))
                     else:
                         h = h.astype(jnp.float32)  # f32 batch stats + epilogue
                         mean = jnp.mean(h, axis=(0, 1, 2))
                         var = jnp.var(h, axis=(0, 1, 2))
-                    n = h.shape[0] * h.shape[1] * h.shape[2]
+                    n = (h.shape[0] * h.shape[1] * h.shape[2]
+                         * (batch_pack if in_bp else 1))
                     unbiased = var * (n / max(n - 1, 1))
                     old = state[f"layer{i}"]
                     new_state[f"layer{i}"] = {
@@ -552,6 +574,14 @@ def apply(
                             layer.group_id, batch_pack)
                     else:
                         h = src
+                elif (last_use[i] == i + 1 and i < bp_end
+                      and isinstance(spec.layers[i + 1], ConvSpec)):
+                    # Sole consumer is the next (packed) conv: skip the
+                    # frame-major interleave, the conv's kernel rows are
+                    # permuted to the parts order (bpack.pack_kernel_parts).
+                    h = jnp.concatenate(
+                        [outputs[j] for j in layer.layers], axis=-1)
+                    bp_parts_order = [chans[j + 1] for j in layer.layers]
                 else:
                     h = bpack_mod.packed_concat(
                         [outputs[j] for j in layer.layers],

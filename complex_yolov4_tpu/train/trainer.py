@@ -61,6 +61,7 @@ def make_train_step(
     remat: bool = False,
     device_raster: bool = False,
     metrics_cond: bool = False,
+    batch_pack: Optional[int] = None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jnp.ndarray],
               Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted (state, batch, lr) -> (state, metrics) step.
@@ -83,12 +84,17 @@ def make_train_step(
     (pred-vs-target rotated IoU in MSE mode, score scatters) runs under
     lax.cond — steps that don't feed tensorboard skip that geometry while
     still compiling ONE program per size bucket.
+
+    `batch_pack` runs the early backbone batch-packed (models/bpack.py) in
+    the forward AND backward — the block-diagonal conv transform is exact
+    and its VJP enjoys the same padded-MXU-pass halving; train-mode BN
+    reduces statistics per original channel (models/bn_train.py `p`).
     """
     from ..data import bev as bev_mod
 
     def forward(params, bn_state, images):
         return net.apply(spec, params, bn_state, images, train=True,
-                         compute_dtype=compute_dtype)
+                         compute_dtype=compute_dtype, batch_pack=batch_pack)
 
     if remat:
         forward = jax.checkpoint(forward)

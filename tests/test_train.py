@@ -99,6 +99,90 @@ def test_train_step_bf16_custom_bn_learns():
     assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
 
 
+def test_bn_train_packed_stats_and_grads_match():
+    """bn_train with p>1 (packed activations, models/bpack.py layout) must
+    reproduce the unpacked batch statistics and gradients exactly: the packed
+    stats reduce over the frame-block axis via a minor-dim reshape, so the
+    set of summands is identical (only the reduction shape changes)."""
+    from complex_yolov4_tpu.models import bn_train as bnt
+    from complex_yolov4_tpu.models import bpack
+
+    rng = jax.random.PRNGKey(7)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    h = jax.random.normal(k1, (4, 6, 6, 5), jnp.float32)
+    scale = jax.random.normal(k2, (5,)) * 0.5 + 1.0
+    bias = jax.random.normal(k3, (5,)) * 0.1
+    hp = bpack.pack(h, 2)  # (2, 6, 6, 10)
+
+    y0, m0, v0 = bnt.bn_train(h, scale, bias)
+    yp, mp, vp = bnt.bn_train(hp, scale, bias, 2)
+    np.testing.assert_allclose(np.asarray(mp), np.asarray(m0),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(vp), np.asarray(v0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(bpack.unpack(yp, 2)),
+                               np.asarray(y0), atol=1e-6)
+
+    # gradients: an arbitrary smooth scalar of y, identical under packing
+    w = jnp.sin(jnp.arange(h.size, dtype=jnp.float32)).reshape(h.shape)
+
+    def loss_plain(h_, s_, b_):
+        y, _, _ = bnt.bn_train(h_, s_, b_)
+        return jnp.sum(jnp.sin(y) * w)
+
+    def loss_packed(h_, s_, b_):
+        y, _, _ = bnt.bn_train(bpack.pack(h_, 2), s_, b_, 2)
+        return jnp.sum(jnp.sin(bpack.unpack(y, 2)) * w)
+
+    g0 = jax.grad(loss_plain, argnums=(0, 1, 2))(h, scale, bias)
+    gp = jax.grad(loss_packed, argnums=(0, 1, 2))(h, scale, bias)
+    for a, b in zip(g0, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-5)
+
+    # bf16 activations follow the custom-VJP path in both layouts
+    hb = h.astype(jnp.bfloat16)
+    gb0 = jax.grad(loss_plain)(hb, scale, bias)
+    gbp = jax.grad(loss_packed)(hb, scale, bias)
+    np.testing.assert_allclose(np.asarray(gbp.astype(jnp.float32)),
+                               np.asarray(gb0.astype(jnp.float32)),
+                               rtol=1e-2, atol=1e-3)
+
+
+def test_train_step_batch_pack_matches_plain():
+    """Full train step with the batch-packed early backbone == plain step:
+    same loss, same updated params, same BN running stats (f32: tight —
+    block-diagonal packing only reorders reductions; bf16: loose, covers the
+    packed bn_train custom-VJP path end-to-end)."""
+    from complex_yolov4_tpu.models import bpack
+
+    spec, state, _, batch = _tiny_setup(batch=4)
+    assert bpack.plan_segment(spec, 2) is not None
+    tx = T.create_optimizer(state.params, optimizer_type="sgd")
+    copy = lambda t: jax.tree.map(jnp.array, t)  # noqa: E731
+
+    for dtype, rtol, atol in ((jnp.float32, 2e-4, 2e-5),
+                              (jnp.bfloat16, 0.08, 0.02)):
+        step_p = T.make_train_step(spec, tx, compute_dtype=dtype,
+                                   batch_pack=2)
+        step_0 = T.make_train_step(spec, tx, compute_dtype=dtype)
+        s_p = T.TrainState.create(copy(state.params), copy(state.bn_state), tx)
+        s_0 = T.TrainState.create(copy(state.params), copy(state.bn_state), tx)
+        s_p, m_p = step_p(s_p, batch, jnp.float32(1e-3))
+        s_0, m_0 = step_0(s_0, batch, jnp.float32(1e-3))
+        np.testing.assert_allclose(float(m_p["loss"]), float(m_0["loss"]),
+                                   rtol=rtol)
+        for a, b in zip(jax.tree.leaves(s_p.params),
+                        jax.tree.leaves(s_0.params)):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       rtol=rtol, atol=atol)
+        for a, b in zip(jax.tree.leaves(s_p.bn_state),
+                        jax.tree.leaves(s_0.bn_state)):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       rtol=rtol, atol=atol)
+
+
 def test_metrics_cond_step_matches_full():
     """metrics_cond step: want_metrics=True reproduces the always-metrics
     step exactly; want_metrics=False yields identical loss/params with the
