@@ -126,6 +126,7 @@ def main() -> None:
           f"scene={'clustered' if clustered else 'diffuse'} "
           f"s2d={s2d_variant or 'off'}"
           f" bpack={bpack_p or 0}"
+          f" stem_pallas={os.environ.get('STEM_PALLAS', '') == '1'}"
           f"{'/end' + os.environ.get('BENCH_S2D_END') if os.environ.get('BENCH_S2D_END') else ''}",
           file=sys.stderr)
     # int8 PTQ is the default serving config: accuracy-gated on a trained

@@ -26,6 +26,7 @@ import numpy as np
 
 from ..ops import fused_stage as fused_mod
 from ..ops import pallas_conv
+from ..ops import stem_conv as stem_mod
 from . import bn_train as bn_train_mod
 from . import bpack as bpack_mod
 from . import s2d as s2d_mod
@@ -188,6 +189,16 @@ def _use_fused_default() -> bool:
     return os.environ.get("FUSED_STAGE", "") == "1"
 
 
+def _use_stem_default() -> bool:
+    """Pallas stem conv (ops/stem_conv.py): FROZEN RESEARCH, opt-in
+    (STEM_PALLAS=1). Correct in interpret mode but crashes the remote
+    Mosaic compiler on the real chip — see the ops/stem_conv.py status
+    note and PERF.md round-4 batch 5 before enabling."""
+    import os
+
+    return os.environ.get("STEM_PALLAS", "") == "1"
+
+
 def apply(
     spec: NetSpec,
     params: Params,
@@ -198,6 +209,7 @@ def apply(
     compute_dtype=jnp.bfloat16,
     use_pallas_conv: Optional[bool] = None,
     use_fused_stage: Optional[bool] = None,
+    stem_pallas: Optional[bool] = None,
     s2d_early: Optional[str] = None,
     quant: Optional[Dict[str, Any]] = None,
     capture_act_max: bool = False,
@@ -247,6 +259,8 @@ def apply(
     """
     if use_pallas_conv is None:
         use_pallas_conv = _use_pallas_default()
+    if stem_pallas is None:
+        stem_pallas = _use_stem_default()
     img_size = x.shape[1]
     outputs: List[Optional[jnp.ndarray]] = []
     new_state: State = {}
@@ -455,6 +469,35 @@ def apply(
                         -127.0, 127.0).astype(jnp.int8)
                 else:
                     h = h.astype(compute_dtype)
+                outputs.append(h)
+                for j in range(i + 1):
+                    if outputs[j] is not None and last_use[j] <= i:
+                        outputs[j] = None
+                continue
+            if (
+                stem_pallas
+                and not train
+                and not isinstance(h, _PartsConcat)
+                and h.dtype == jnp.float32
+                and compute_dtype == jnp.bfloat16
+                and layer.size == 3
+                and layer.stride == 1
+                and layer.pad
+                and stem_mod.supported(
+                    h.shape[1], h.shape[2], h.shape[-1],
+                    layer.filters * (batch_pack if in_bp else 1),
+                    layer.size, layer.stride, layer.activation)
+            ):
+                # Tiny-C_in stem conv as ONE MXU pass over im2col patches
+                # (ops/stem_conv.py) — XLA's 9 K-padded tap matmuls are the
+                # network's single worst layer (r4 attribution, PERF.md).
+                # Triggers for conv0 only: later layers arrive in bf16.
+                w_eff, b_eff = folded_wb(i, layer)
+                if in_bp:
+                    w_eff = bpack_mod.pack_kernel(w_eff, batch_pack)
+                    b_eff = bpack_mod.pack_channel_vec(b_eff, batch_pack)
+                h = stem_mod.conv3x3_stem(h, w_eff, b_eff,
+                                          activation=layer.activation)
                 outputs.append(h)
                 for j in range(i + 1):
                     if outputs[j] is not None and last_use[j] <= i:
