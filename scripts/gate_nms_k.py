@@ -29,7 +29,17 @@ def main() -> None:
     ap.add_argument("--ks", default="256,128,64")
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--quant", default="int8", choices=["int8", "none"])
+    ap.add_argument("--model", default="complex_yolov4")
+    ap.add_argument("--num_samples", type=int, default=None,
+                    help="cap val frames (CPU dry runs)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU platform (wiring dry runs)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
 
@@ -39,7 +49,7 @@ def main() -> None:
     from complex_yolov4_tpu.models import network as net
     from complex_yolov4_tpu.cli.common import load_weights
 
-    spec = get_model_spec("complex_yolov4")
+    spec = get_model_spec(args.model)
     params, state = load_weights(spec, args.ckpt)
 
     quant = None
@@ -50,12 +60,14 @@ def main() -> None:
         spec = net.fold_spec(spec)
         params, state = fparams, {}
         calib_loader = create_val_loader(args.dataset, args.batch_size,
-                                         num_samples=8)
-        calib = [b["images"] for b in calib_loader]
+                                         num_samples=min(
+                                             8, args.num_samples or 8))
+        calib = [np.asarray(b["image"]) for b in calib_loader]
         quant = qz.quantize_model(spec, params, calib)
         print(f"int8 PTQ: {len(quant)} convs (bench serving config)")
 
     loader = create_val_loader(args.dataset, args.batch_size,
+                               num_samples=args.num_samples,
                                device_raster=True, cells_raster=True)
     rows = []
     for k in [int(v) for v in args.ks.split(",")]:

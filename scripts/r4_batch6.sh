@@ -12,6 +12,14 @@ mkdir -p /tmp/r4b6
 cd /root/repo
 export PYTHONPATH=/root/.axon_site:/root/repo
 
+# Timed arms need an idle host (1 core; contention collapses tunnel timings
+# ~2.3x). /tmp/cpu_busy.lock is touched around CPU-heavy work (pytest).
+for i in $(seq 1 60); do
+  [ -e /tmp/cpu_busy.lock ] || break
+  echo "waiting for cpu_busy.lock ($i)" | tee -a /tmp/r4b6/summary.log
+  sleep 30
+done
+
 run() {
   name="$1"; shift
   echo "=== $name ($(date -u +%H:%M:%S)) $*" | tee -a /tmp/r4b6/summary.log
