@@ -10,7 +10,7 @@ for i in $(seq 1 60); do
   if timeout 90 python -c "
 import jax, jax.numpy as jnp
 y = jax.jit(lambda a: (a@a).sum())(jnp.ones((256,256)))
-jax.block_until_ready(y); assert float(y) == 256.0*256
+jax.block_until_ready(y); assert float(y) == 256.0**3  # ones@ones sums K=256 per element
 " >/dev/null 2>&1; then
     echo "chip up after $i probes ($(date -u +%H:%M:%S)); launching $BATCH"
     exec bash "$BATCH"
