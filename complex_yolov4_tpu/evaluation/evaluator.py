@@ -33,6 +33,7 @@ def make_inference_fn(
     from_cells: bool = False,
     img_size: Optional[int] = None,
     batch_pack: Optional[int] = 2,
+    mish_approx: bool = False,
 ) -> Callable:
     """Jitted (params, state, images) -> (detections, det_masks).
 
@@ -87,6 +88,7 @@ def make_inference_fn(
                     images, (images.shape[0], size, size, images.shape[3]),
                     method="linear", antialias=False)
             decoded, _ = net.apply(spec, params, state, images, train=False,
+                                   mish_approx=mish_approx,
                                    compute_dtype=compute_dtype, quant=quant,
                                    batch_pack=batch_pack or None)
             return nms_batch(decoded, conf_thresh, nms_thresh, max_boxes)
@@ -154,6 +156,7 @@ def make_inference_fn(
         else:
             (images,) = inputs
         decoded, _ = net.apply(spec, params, state, images, train=False,
+                               mish_approx=mish_approx,
                                compute_dtype=compute_dtype, quant=quant,
                                batch_pack=batch_pack or None)
         return nms_batch(decoded, conf_thresh, nms_thresh, max_boxes)

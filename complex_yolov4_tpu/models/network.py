@@ -41,8 +41,32 @@ BN_MOMENTUM = 0.1   # torch convention: new = (1 - m) * old + m * batch
 assert bn_train_mod.BN_EPS == BN_EPS  # the custom-VJP BN must share the eps
 
 
-def _act(x: jnp.ndarray, kind: str) -> jnp.ndarray:
+# Serving-only rational approximation of tanh(softplus(x)) on [-12, 4]
+# (P4/Q4 Lawson-minimax fit; max |mish - approx| = 3.7e-3, below the bf16
+# ulp at unit activation scale; poles excluded, Q >= 0.92 on the range).
+# Replaces the exp + divide with 8 FMAs + 1 divide on the VPU — PERF.md
+# lever #6; accuracy-gated like int8 (scripts/gate_mish.py).
+_MISH_P = (0.6001953413151558, 0.1442384341413317, 0.0062036354390033795,
+           -0.0006527109458260742, -4.05650302230369e-05)
+_MISH_Q = (1.0, -0.29155779152950445, 0.193682869438228,
+           -0.03783387168399598, 0.0027894831784528304)
+
+
+def _horner(coefs, x):
+    acc = jnp.full_like(x, coefs[-1])
+    for c in coefs[-2::-1]:
+        acc = acc * x + c
+    return acc
+
+
+def _act(x: jnp.ndarray, kind: str, mish_approx: bool = False) -> jnp.ndarray:
     if kind == "mish":
+        if mish_approx:
+            t = x.astype(jnp.float32)
+            tc = jnp.clip(t, -12.0, 4.0)
+            r = _horner(_MISH_P, tc) / _horner(_MISH_Q, tc)
+            y = jnp.where(t > 4.0, t, jnp.where(t < -12.0, 0.0, t * r))
+            return y.astype(x.dtype)
         # mish(x) = x * tanh(softplus(x)) == x * (s^2 + 2s) / (s^2 + 2s + 2)
         # with s = exp(x): one transcendental instead of three (exp/log/tanh),
         # exact algebraically; for x > 20 tanh(softplus(x)) == 1 in fp anyway.
@@ -216,6 +240,7 @@ def apply(
     defer_route_concat: bool = False,
     stop_after: Optional[int] = None,
     batch_pack: Optional[int] = None,
+    mish_approx: bool = False,
 ):
     """Run the network.
 
@@ -383,7 +408,7 @@ def apply(
                 else:
                     g = s2d_mod.conv1x1_s2d(src, w_eff, compute_dtype)
                 g = g + jnp.tile(b_eff, 4).astype(g.dtype)
-                g = _act(g, layer.activation).astype(compute_dtype)
+                g = _act(g, layer.activation, mish_approx).astype(compute_dtype)
             elif isinstance(layer, RouteSpec):
                 if len(layer.layers) == 1:
                     src = seg_out[layer.layers[0]]
@@ -399,7 +424,7 @@ def apply(
                         [chans[j + 1] for j in layer.layers])
             elif isinstance(layer, ShortcutSpec):
                 g = seg_out[layer.from_index] + seg_out[i - 1]
-                g = _act(g, layer.activation)
+                g = _act(g, layer.activation, mish_approx)
             else:  # pragma: no cover - plan_segment excludes other types
                 raise AssertionError(f"unsupported s2d layer {layer!r}")
             seg_out[i] = g
@@ -462,7 +487,7 @@ def apply(
                         dimension_numbers=("NHWC", "HWIO", "NHWC"),
                         preferred_element_type=jnp.int32)
                 h = y.astype(jnp.float32) * (q["s_x"] * q["w_scale"]) + q["b"]
-                h = _act(h, layer.activation)
+                h = _act(h, layer.activation, mish_approx)
                 if i in chain:  # requantize in-epilogue to the consumer's domain
                     h = jnp.clip(
                         jnp.round(h * (1.0 / quant[f"layer{i + 1}"]["s_x"])),
@@ -601,7 +626,7 @@ def apply(
                 bias = (bpack_mod.pack_channel_vec(p["b"], batch_pack)
                         if in_bp else p["b"])
                 h = h + bias.astype(h.dtype)
-            h = _act(h, layer.activation)
+            h = _act(h, layer.activation, mish_approx)
             h = h.astype(compute_dtype)
         elif isinstance(layer, MaxPoolSpec):
             h = _maxpool(h, layer.size, layer.stride)
@@ -642,7 +667,7 @@ def apply(
                 h = jnp.concatenate([outputs[j] for j in layer.layers], axis=-1)
         elif isinstance(layer, ShortcutSpec):
             h = outputs[layer.from_index] + outputs[i - 1]
-            h = _act(h, layer.activation)
+            h = _act(h, layer.activation, mish_approx)
         elif isinstance(layer, YoloSpec):
             raw = decode_head(outputs[i - 1].astype(jnp.float32), layer, img_size)
             head_raw.append(raw)

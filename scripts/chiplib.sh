@@ -1,0 +1,64 @@
+#!/bin/bash
+# Shared helpers for chip batch scripts (VERDICT r4 #1 + ADVICE r4).
+# Source this; set LOGDIR before calling run helpers.
+#
+# Rules encoded here:
+#   - EVERY chip-touching command runs under `flock /tmp/tpu.lock` with
+#     CHIP_LOCK_HELD=1 exported so the child Python (utils/chiplock.py)
+#     doesn't re-take the lock on a fresh fd and deadlock. Per-command
+#     (per-arm) granularity: a concurrent script serializes at arm
+#     boundaries instead of corrupting timings.
+#   - A batch script registers its pid in /tmp/chip_batch.pid on entry and
+#     removes it on exit; the watchdog refuses to relaunch while a
+#     registered batch is alive (round-4's double-launch failure).
+#   - wait_idle logs a LOUD marker when it gives up so a suspect timing is
+#     distinguishable in the log (ADVICE r4).
+
+TPU_LOCK=/tmp/tpu.lock
+BATCH_PID_FILE=/tmp/chip_batch.pid
+
+log() { echo "$@" | tee -a "$LOGDIR/summary.log"; }
+
+register_batch() {
+  if [ -f "$BATCH_PID_FILE" ] && kill -0 "$(cat "$BATCH_PID_FILE")" 2>/dev/null; then
+    echo "another chip batch (pid $(cat "$BATCH_PID_FILE")) is alive — refusing to start" >&2
+    exit 3
+  fi
+  echo $$ > "$BATCH_PID_FILE"
+  trap 'rm -f "$BATCH_PID_FILE"' EXIT
+}
+
+wait_idle() {
+  for i in $(seq 1 80); do
+    [ -e /tmp/cpu_busy.lock ] || return 0
+    log "waiting for cpu_busy.lock ($i)"
+    sleep 30
+  done
+  log "WARNING: cpu_busy.lock still held after 40 min — proceeding; TIMINGS SUSPECT"
+}
+
+# chip_run <timeout_s> <cmd...>  — run one chip-touching command under the
+# chip lock. Lock wait is generous (timeout + 2h) so queued arms survive a
+# long holder; `timeout` bounds only the command itself.
+chip_run() {
+  local t="$1"; shift
+  flock -w "$((t + 7200))" "$TPU_LOCK" \
+    env CHIP_LOCK_HELD=1 timeout "$t" "$@"
+}
+
+# arm <name> <timeout_s> [ENV=V ...] -- <cmd...>  — a logged, locked,
+# idle-waited arm writing stdout/stderr to $LOGDIR/<name>.{out,err}.
+arm() {
+  local name="$1" t="$2"; shift 2
+  local envs=()
+  while [ "$1" != "--" ]; do envs+=("$1"); shift; done
+  shift
+  wait_idle
+  log "=== $name ($(date -u +%H:%M:%S)) ${envs[*]}"
+  flock -w "$((t + 7200))" "$TPU_LOCK" \
+    env CHIP_LOCK_HELD=1 "${envs[@]}" timeout "$t" "$@" \
+    >"$LOGDIR/$name.out" 2>"$LOGDIR/$name.err"
+  local rc=$?
+  { echo "rc=$rc"; tail -5 "$LOGDIR/$name.out"; } | tee -a "$LOGDIR/summary.log"
+  return $rc
+}

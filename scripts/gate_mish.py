@@ -1,0 +1,90 @@
+"""Mish-approximation mAP gate (VERDICT r4 #7, PERF.md lever #6).
+
+The serving forward spends ~1.6 ms/batch in mish transcendentals (exp +
+divide per activation). network.py::_act carries a P4/Q4 rational
+approximation (max |mish - approx| = 3.7e-3); this gate re-runs the int8
+accuracy protocol (trained flagship checkpoint, 64-frame held-out synthetic
+val split, bench serving numerics) with the approximation ON vs OFF — the
+BENCH_MISH default flips only if |dmAP| < 0.005, same budget as the int8
+and NMS-k gates.
+
+Usage:
+    python scripts/gate_mish.py --ckpt workdir/r5gate/checkpoints/gate/epoch_100
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--dataset", default="/tmp/synthetic_kitti_128")
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--quant", default="int8", choices=["int8", "none"])
+    ap.add_argument("--nms_k", type=int, default=128)
+    ap.add_argument("--model", default="complex_yolov4")
+    ap.add_argument("--num_samples", type=int, default=None,
+                    help="cap val frames (CPU dry runs)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU platform (wiring dry runs)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from complex_yolov4_tpu.data import create_val_loader
+    from complex_yolov4_tpu.evaluation import evaluate_map, make_inference_fn
+    from complex_yolov4_tpu.models import get_model_spec
+    from complex_yolov4_tpu.models import network as net
+    from complex_yolov4_tpu.cli.common import load_weights
+
+    spec = get_model_spec(args.model)
+    params, state = load_weights(spec, args.ckpt)
+
+    quant = None
+    if args.quant == "int8":
+        from complex_yolov4_tpu.models import quantize as qz
+
+        fparams = net.fold_batchnorm(spec, params, state)
+        spec = net.fold_spec(spec)
+        params, state = fparams, {}
+        calib_loader = create_val_loader(args.dataset, args.batch_size,
+                                         num_samples=min(
+                                             8, args.num_samples or 8))
+        calib = [np.asarray(b["image"]) for b in calib_loader]
+        quant = qz.quantize_model(spec, params, calib)
+        print(f"int8 PTQ: {len(quant)} convs (bench serving config)")
+
+    loader = create_val_loader(args.dataset, args.batch_size,
+                               num_samples=args.num_samples,
+                               device_raster=True, cells_raster=True)
+    rows = []
+    for approx in (False, True):
+        infer = make_inference_fn(spec, compute_dtype=jnp.bfloat16,
+                                  quant=quant, from_cells=True,
+                                  max_boxes=args.nms_k, mish_approx=approx)
+        t0 = time.perf_counter()
+        out = evaluate_map(infer, params, state, loader)
+        dt = time.perf_counter() - t0
+        rows.append((approx, float(out["mAP"]), dt))
+        print(f"mish={'approx' if approx else 'exact '}: mAP {out['mAP']:.4f}"
+              f"  APs {np.round(np.asarray(out['AP']), 4).tolist()}"
+              f"  wall {dt:.1f}s", flush=True)
+
+    d = rows[1][1] - rows[0][1]
+    print(f"dmAP approx-exact = {d:+.4f} "
+          f"({'PASS' if abs(d) < 0.005 else 'FAIL'} at 0.5-pt gate)")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

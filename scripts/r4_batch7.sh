@@ -23,6 +23,7 @@ wait_idle() {
     log "waiting for cpu_busy.lock ($i)"
     sleep 30
   done
+  log "WARNING: cpu_busy.lock still held after 40 min — proceeding; TIMINGS SUSPECT"
 }
 
 log "=== gate training ($(date -u +%H:%M:%S))"
@@ -35,11 +36,15 @@ log "rc=$? (training)"
 tail -3 /tmp/r4b7/gate_train.out | tee -a /tmp/r4b7/summary.log
 
 log "=== gate eval k=256/128/64 ($(date -u +%H:%M:%S))"
-CKPT=$(ls -d /tmp/r4gate/checkpoints/gate/epoch_* 2>/dev/null | sort -V | tail -1)
+CKPT=$(ls -d /tmp/r4gate/checkpoints/gate/epoch_* 2>/dev/null | grep -E '/epoch_[0-9]+$' | sort -V | tail -1)
+if [ -z "$CKPT" ]; then
+  log "no checkpoint — skipping gate eval"
+else
 timeout 2400 python scripts/gate_nms_k.py --ckpt "$CKPT" \
   >/tmp/r4b7/gate_eval.out 2>/tmp/r4b7/gate_eval.err
 rc=$?
 { echo "rc=$rc"; cat /tmp/r4b7/gate_eval.out; } | tee -a /tmp/r4b7/summary.log
+fi
 
 run() {
   name="$1"; shift

@@ -25,6 +25,7 @@ wait_idle() {
     log "waiting for cpu_busy.lock ($i)"
     sleep 30
   done
+  log "WARNING: cpu_busy.lock still held after 40 min — proceeding; TIMINGS SUSPECT"
 }
 
 log "=== gate training 7b ($(date -u +%H:%M:%S))"
@@ -37,20 +38,24 @@ log "rc=$? (training)"
 tail -3 /tmp/r4b7/gate_train7b.err | tee -a /tmp/r4b7/summary.log
 
 log "=== gate eval k=256/128/64 ($(date -u +%H:%M:%S))"
-CKPT=$(ls -d /tmp/r4gate/checkpoints/gate/epoch_* 2>/dev/null | sort -V | tail -1)
+CKPT=$(ls -d /tmp/r4gate/checkpoints/gate/epoch_* 2>/dev/null | grep -E '/epoch_[0-9]+$' | sort -V | tail -1)
 log "checkpoint: $CKPT"
+if [ -z "$CKPT" ]; then
+  log "no checkpoint — skipping gate eval"
+else
 timeout 2400 python scripts/gate_nms_k.py --ckpt "$CKPT" \
-  >/tmp/r4b7/gate_eval.out 2>/tmp/r4b7/gate_eval.err
+  >/tmp/r4b7/gate_eval7b.out 2>/tmp/r4b7/gate_eval7b.err
 rc=$?
-{ echo "rc=$rc"; cat /tmp/r4b7/gate_eval.out; } | tee -a /tmp/r4b7/summary.log
+{ echo "rc=$rc"; cat /tmp/r4b7/gate_eval7b.out; } | tee -a /tmp/r4b7/summary.log
+fi
 
 run() {
   name="$1"; shift
   wait_idle
   log "=== $name ($(date -u +%H:%M:%S)) $*"
-  env "$@" timeout 1200 python bench.py >/tmp/r4b7/$name.out 2>/tmp/r4b7/$name.err
+  env "$@" timeout 1200 python bench.py >/tmp/r4b7/${name}7b.out 2>/tmp/r4b7/${name}7b.err
   rc=$?
-  { echo "rc=$rc"; cat /tmp/r4b7/$name.out; } | tee -a /tmp/r4b7/summary.log
+  { echo "rc=$rc"; cat /tmp/r4b7/${name}7b.out; } | tee -a /tmp/r4b7/summary.log
 }
 
 run anchor
@@ -59,6 +64,6 @@ run bpack4 BENCH_BPACK=4
 
 wait_idle
 log "=== train_anchor ($(date -u +%H:%M:%S))"
-timeout 1500 python bench_train.py >/tmp/r4b7/train_anchor.out 2>/tmp/r4b7/train_anchor.err
-{ echo "rc=$?"; cat /tmp/r4b7/train_anchor.out; } | tee -a /tmp/r4b7/summary.log
+timeout 1500 python bench_train.py >/tmp/r4b7/train_anchor7b.out 2>/tmp/r4b7/train_anchor7b.err
+{ echo "rc=$?"; cat /tmp/r4b7/train_anchor7b.out; } | tee -a /tmp/r4b7/summary.log
 log "=== batch 7b done ($(date -u +%H:%M:%S))"

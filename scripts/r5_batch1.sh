@@ -1,0 +1,66 @@
+#!/bin/bash
+# Round-5 batch 1 — record repair + the two unfinished r4 levers.
+# Every chip-touching arm runs under the /tmp/tpu.lock flock (chiplib.sh;
+# VERDICT r4 #1) and the batch registers its pid so the watchdog can't
+# double-launch it.
+#
+#  1. bench anchor           — confirm the committed 620 f/s under the lock
+#  2. stem Mosaic probe P4   — the one healthy-tunnel retry (VERDICT r4 #4)
+#  3. gate training          — DURABLE: workdir/r5gate (non-/tmp),
+#                              checkpoint_freq 10, auto-resume (VERDICT #2)
+#  4. gate eval k=256/128/64 — flip BENCH_NMS_K default if |dmAP| < 0.005
+#  5. bench BENCH_NMS_K=64   — the candidate default (+3.7% measured r4)
+#  6. train anchor           — committed 105.9 imgs/s at b16 bpack=2
+set -u
+cd /root/repo
+source scripts/chiplib.sh
+LOGDIR=/tmp/r5b1
+mkdir -p "$LOGDIR"
+register_batch
+export PYTHONPATH=/root/.axon_site:/root/repo
+
+log "=== r5 batch 1 start ($(date -u +%H:%M:%S))"
+
+arm anchor 1500 -- python bench.py
+
+arm stem_probe 1800 -- python scripts/probe_stem_mosaic.py
+
+# Durable gate training: resume from the newest complete epoch checkpoint
+# (regex excludes orbax tmp dirs — ADVICE r4), saved every 10 epochs so a
+# timeout still leaves a usable model under a non-/tmp workdir.
+GCKPT=$(ls -d workdir/r5gate/checkpoints/gate/epoch_* 2>/dev/null \
+        | grep -E '/epoch_[0-9]+$' | sort -V | tail -1)
+RESUME=()
+if [ -n "$GCKPT" ]; then
+  log "resuming gate training from $GCKPT"
+  RESUME=(--resume_path "$GCKPT")
+fi
+if [ "$(basename "${GCKPT:-none}")" = "epoch_100" ]; then
+  log "gate training already complete ($GCKPT)"
+else
+  wait_idle
+  log "=== gate_train ($(date -u +%H:%M:%S))"
+  chip_run 4200 python -m complex_yolov4_tpu.cli.train --synthetic \
+    --synthetic_frames 128 --model complex_yolov4 --num_epochs 100 --no_val \
+    --batch_size 8 --working_dir workdir/r5gate --saved_fn gate \
+    --checkpoint_freq 10 --print_freq 16 "${RESUME[@]}" \
+    >"$LOGDIR/gate_train.out" 2>"$LOGDIR/gate_train.err"
+  rc=$?
+  { echo "rc=$rc (gate_train)"; tail -3 "$LOGDIR/gate_train.err"; } \
+    | tee -a "$LOGDIR/summary.log"
+fi
+
+CKPT=$(ls -d workdir/r5gate/checkpoints/gate/epoch_* 2>/dev/null \
+       | grep -E '/epoch_[0-9]+$' | sort -V | tail -1)
+log "gate checkpoint: ${CKPT:-NONE}"
+if [ -n "$CKPT" ]; then
+  arm gate_eval 2400 -- python scripts/gate_nms_k.py --ckpt "$CKPT"
+else
+  log "no checkpoint — skipping gate eval"
+fi
+
+arm nms_k64 1500 BENCH_NMS_K=64 -- python bench.py
+
+arm train_anchor 1800 -- python bench_train.py
+
+log "=== r5 batch 1 done ($(date -u +%H:%M:%S))"
