@@ -34,20 +34,19 @@ Scope: kernel 3x3, stride 1, SAME padding, C_in <= 14 (K = 9*C_in fits one
 MXU K-tile), bias + activation fused, inference only. Unpacked (C_in=3) and
 batch-packed (C_in = 3p) conv0 both qualify; everything else keeps XLA convs.
 
-STATUS (round 4): FROZEN RESEARCH, default OFF (STEM_PALLAS=1 opts in, CPU
-interpret mode only). The kernel is correct in interpret mode
-(tests/test_stem_conv.py) but the remote Mosaic compile crashes
-(`tpu_compile_helper subprocess exit code 1`, no retrievable diagnostics
-through the axon tunnel); bisect probes (scripts/probe_stem_mosaic*.py)
-could not complete before the compile service degraded. The prime suspect
-is the in-kernel reshape (k_pad, r, w_pad) -> (k_pad, r*w_pad), which
-merges the sublane and lane dims — a relayout Mosaic does not implement;
-the reshape-free alternative needs a 3D-lhs dot_general (contraction on
-dim 0), probed as probe_stem_mosaic.py::p4 and never confirmed. The same
-one-pass thesis expressed in pure XLA (im2col concat + K=54 matmul,
-scripts/bench_stem.py) measured 3.4x SLOWER than the 9-tap conv (7.54 vs
-2.24 ms packed) — XLA materializes the 9x patch concat instead of fusing
-it into the dot. Numbers in PERF.md round-4 batch 5.
+STATUS (round 5): the kernel now uses the RESHAPE-FREE formulation — the
+round-4 version's (k_pad, r, w_pad) -> (k_pad, r*w_pad) scratch reshape
+merged sublane and lane dims (a relayout Mosaic lacks) and was the prime
+suspect for the remote Mosaic crash (`tpu_compile_helper subprocess exit
+code 1`, no retrievable diagnostics through the axon tunnel). The 3D-lhs
+dot_general contracts the sublane dim directly (probe_stem_mosaic.py::p4);
+interpret-mode correctness is re-pinned (tests/test_stem_conv.py, 6 tests).
+Still default OFF (STEM_PALLAS=1 opts in) pending the round-5
+healthy-tunnel probe + on-chip A/B (VERDICT r4 #4). Context that stands:
+the one-pass thesis in pure XLA (im2col concat + K=54 matmul) measured
+3.4x SLOWER than the 9-tap conv (7.54 vs 2.24 ms packed — XLA materializes
+the 9x patch concat instead of fusing it into the dot); numbers in PERF.md
+round-4 batch 5.
 """
 
 from __future__ import annotations
@@ -167,13 +166,18 @@ def conv3x3_stem(
                     patches_ref[(ky * 3 + kx) * c_in + ci, :, :w_in] = (
                         x_ref[0, ci, ky:ky + r, kx:kx + w_in])
 
-        patches = patches_ref[:].reshape(k_pad, r * w_pad)
+        # Reshape-free contraction (round 5): the former
+        # (k_pad, r, w_pad) -> (k_pad, r*w_pad) scratch reshape merged the
+        # sublane and lane dims — the prime suspect for the round-4 remote
+        # Mosaic crash. The 3D-lhs dot_general contracts dim 0 directly and
+        # leaves (r, w_pad) untouched, so no relayout is required anywhere
+        # (probe_stem_mosaic.py::p4 formulation).
         acc = jax.lax.dot_general(
-            patches.astype(jnp.bfloat16), w_ref[:],
+            patches_ref[:].astype(jnp.bfloat16), w_ref[:],
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)      # (r*w_pad, c_out)
+            preferred_element_type=jnp.float32)      # (r, w_pad, c_out)
         y = act(acc + b_ref[:])
-        o_ref[0] = y.reshape(r, w_pad, c_out)[:, :w_in, :].astype(o_ref.dtype)
+        o_ref[0] = y[:, :w_in, :].astype(o_ref.dtype)
 
     grid = (b_sz, h // r)
     return pl.pallas_call(
