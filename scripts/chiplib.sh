@@ -37,6 +37,31 @@ wait_idle() {
   log "WARNING: cpu_busy.lock still held after 40 min — proceeding; TIMINGS SUSPECT"
 }
 
+# probe_chip — 90 s matmul round trip under the lock. The tunnel can wedge
+# BETWEEN a successful probe and the next dispatch (r4 batch 7b; r5 batch 1
+# hard-blocked 25 min in jax init with 5 s of CPU), so every arm re-probes
+# instead of trusting the launch-time probe.
+probe_chip() {
+  flock -w 600 "$TPU_LOCK" env CHIP_LOCK_HELD=1 timeout 90 python -c "
+import jax, jax.numpy as jnp
+y = jax.jit(lambda a: (a@a).sum())(jnp.ones((256,256)))
+jax.block_until_ready(y); assert float(y) == 256.0**3
+" >/dev/null 2>&1
+}
+
+# wait_chip [tries] — block until the chip answers (default 10 probes,
+# ~2 min apart). Returns 1 (and logs loudly) if it never does.
+wait_chip() {
+  local tries="${1:-10}"
+  for i in $(seq 1 "$tries"); do
+    probe_chip && return 0
+    log "chip probe $i/$tries failed ($(date -u +%H:%M:%S)) — waiting 120s"
+    sleep 120
+  done
+  log "WARNING: chip unreachable after $tries probes — arm will likely time out"
+  return 1
+}
+
 # chip_run <timeout_s> <cmd...>  — run one chip-touching command under the
 # chip lock. Lock wait is generous (timeout + 2h) so queued arms survive a
 # long holder; `timeout` bounds only the command itself.
@@ -54,6 +79,7 @@ arm() {
   while [ "$1" != "--" ]; do envs+=("$1"); shift; done
   shift
   wait_idle
+  wait_chip
   log "=== $name ($(date -u +%H:%M:%S)) ${envs[*]}"
   flock -w "$((t + 7200))" "$TPU_LOCK" \
     env CHIP_LOCK_HELD=1 "${envs[@]}" timeout "$t" "$@" \

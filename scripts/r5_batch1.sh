@@ -39,6 +39,7 @@ if [ "$(basename "${GCKPT:-none}")" = "epoch_100" ]; then
   log "gate training already complete ($GCKPT)"
 else
   wait_idle
+  wait_chip
   log "=== gate_train ($(date -u +%H:%M:%S))"
   chip_run 4200 python -m complex_yolov4_tpu.cli.train --synthetic \
     --synthetic_frames 128 --model complex_yolov4 --num_epochs 100 --no_val \
