@@ -49,17 +49,19 @@ jax.block_until_ready(y); assert float(y) == 256.0**3
 " >/dev/null 2>&1
 }
 
-# wait_chip [tries] — block until the chip answers (default 10 probes,
-# ~2 min apart). Returns 1 (and logs loudly) if it never does.
+# wait_chip [tries] — block until the chip answers (default 5 probes,
+# ~2 min apart). On exhaustion ABORTS the whole batch (exit 4): the batch
+# is idempotent and the watchdog relaunch loop retries it when the tunnel
+# recovers — far cheaper than burning each arm's full timeout in sequence.
 wait_chip() {
-  local tries="${1:-10}"
+  local tries="${1:-5}"
   for i in $(seq 1 "$tries"); do
     probe_chip && return 0
     log "chip probe $i/$tries failed ($(date -u +%H:%M:%S)) — waiting 120s"
     sleep 120
   done
-  log "WARNING: chip unreachable after $tries probes — arm will likely time out"
-  return 1
+  log "ABORT: chip unreachable after $tries probes — batch exits for watchdog relaunch"
+  exit 4
 }
 
 # chip_run <timeout_s> <cmd...>  — run one chip-touching command under the
@@ -78,6 +80,10 @@ arm() {
   local envs=()
   while [ "$1" != "--" ]; do envs+=("$1"); shift; done
   shift
+  if [ -e "$LOGDIR/$name.ok" ]; then
+    log "=== $name already ok — skipping (relaunch resume)"
+    return 0
+  fi
   wait_idle
   wait_chip
   log "=== $name ($(date -u +%H:%M:%S)) ${envs[*]}"
@@ -85,6 +91,7 @@ arm() {
     env CHIP_LOCK_HELD=1 "${envs[@]}" timeout "$t" "$@" \
     >"$LOGDIR/$name.out" 2>"$LOGDIR/$name.err"
   local rc=$?
+  [ "$rc" -eq 0 ] && touch "$LOGDIR/$name.ok"
   { echo "rc=$rc"; tail -5 "$LOGDIR/$name.out"; } | tee -a "$LOGDIR/summary.log"
   return $rc
 }

@@ -65,3 +65,4 @@ arm nms_k64 1500 BENCH_NMS_K=64 -- python bench.py
 arm train_anchor 1800 -- python bench_train.py
 
 log "=== r5 batch 1 done ($(date -u +%H:%M:%S))"
+touch /tmp/r5_batch1.sh.done

@@ -38,3 +38,4 @@ arm prefix_bpack 3000 -- python scripts/bench_prefix.py --layers convs \
 arm anchor2 1500 -- python bench.py
 
 log "=== r5 batch 2 done ($(date -u +%H:%M:%S))"
+touch /tmp/r5_batch2.sh.done
