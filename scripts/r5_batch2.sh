@@ -19,6 +19,11 @@ export PYTHONPATH=/root/.axon_site:/root/repo
 
 log "=== r5 batch 2 start ($(date -u +%H:%M:%S))"
 
+# Mosaic remote-compile floor canaries: round-5 probe falsified the r4
+# reshape hypothesis (P0 failed too) — classify whether ANY Pallas kernel
+# compiles through the service before spending more on the stem lever.
+arm pallas_canary 1200 -- python scripts/probe_pallas_canary.py
+
 CKPT=$(ls -d workdir/r5gate/checkpoints/gate/epoch_* 2>/dev/null \
        | grep -E '/epoch_[0-9]+$' | sort -V | tail -1)
 log "gate checkpoint: ${CKPT:-NONE}"
