@@ -18,6 +18,10 @@ LOGDIR=/tmp/r5b1
 mkdir -p "$LOGDIR"
 register_batch
 export PYTHONPATH=/root/.axon_site:/root/repo
+# Persistent jit cache: relaunched passes skip the ~2.6-min train-step
+# compile if the backend supports serialized executables (harmless if not).
+export JAX_COMPILATION_CACHE_DIR=/root/repo/workdir/jaxcache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
 
 log "=== r5 batch 1 start ($(date -u +%H:%M:%S))"
 
@@ -48,7 +52,7 @@ else
   chip_run 1500 python -m complex_yolov4_tpu.cli.train --synthetic \
     --synthetic_frames 128 --model complex_yolov4 --num_epochs 100 --no_val \
     --batch_size 8 --working_dir workdir/r5gate --saved_fn gate \
-    --checkpoint_freq 10 --print_freq 16 "${RESUME[@]}" \
+    --checkpoint_freq 5 --print_freq 16 "${RESUME[@]}" \
     >"$LOGDIR/gate_train.out" 2>"$LOGDIR/gate_train.err"
   rc=$?
   { echo "rc=$rc (gate_train)"; tail -3 "$LOGDIR/gate_train.err"; } \

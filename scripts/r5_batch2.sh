@@ -16,6 +16,8 @@ LOGDIR=/tmp/r5b2
 mkdir -p "$LOGDIR" workdir/results
 register_batch
 export PYTHONPATH=/root/.axon_site:/root/repo
+export JAX_COMPILATION_CACHE_DIR=/root/repo/workdir/jaxcache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
 
 log "=== r5 batch 2 start ($(date -u +%H:%M:%S))"
 
