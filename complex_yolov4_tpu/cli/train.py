@@ -161,8 +161,19 @@ def main(argv=None) -> None:
             prefetch_keys = (("points", "point_mask", "flip", "holes", "hole_mask",
                               "targets", "target_mask") if device_raster
                              else ("image", "targets", "target_mask"))
-            for b_idx, device_batch in enumerate(device_prefetch(
-                    loader, mesh, keys=prefetch_keys, host_keys=("size",))):
+            batch_iter = device_prefetch(loader, mesh, keys=prefetch_keys,
+                                         host_keys=("size",))
+            if configs.epoch_preload:
+                # Materialize + finish ALL of this epoch's uploads before the
+                # first dispatch: through the axon tunnel, interleaving fresh
+                # H2D with queued executions reproducibly wedges the server
+                # ~15-30 steps in (r5; bench_train's 43 uploads-free steps run
+                # clean), and an epoch of compact point batches is small
+                # (~43 MB at batch 8). Fresh augmentation per epoch is kept.
+                batch_iter = list(batch_iter)
+                jax.block_until_ready([v for b in batch_iter
+                                       for k, v in b.items() if k != "size"])
+            for b_idx, device_batch in enumerate(batch_iter):
                 # multi_step advances per OPTIMIZER iteration — the reference
                 # steps its scheduler only when an optimizer step fires
                 # (train.py:213-218), i.e. every `subdivisions` micro-batches.

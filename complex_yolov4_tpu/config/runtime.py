@@ -45,6 +45,13 @@ class TrainConfig:
                                              # (default: rasterize on device,
                                              # uploading compact points instead
                                              # of images; mosaic always host)
+    epoch_preload: bool = False              # upload ALL of an epoch's batches
+                                             # before dispatching its steps, so
+                                             # H2D never interleaves with
+                                             # execution (low-bandwidth links
+                                             # that wedge under mixed traffic;
+                                             # costs device memory for one
+                                             # epoch of batches)
     mosaic: bool = False
     random_padding: bool = False
 

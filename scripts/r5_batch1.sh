@@ -45,14 +45,16 @@ else
   wait_idle
   wait_chip
   log "=== gate_train ($(date -u +%H:%M:%S))"
-  # 1500 s, not 4200: a healthy window finishes 100 epochs in ~10 min
-  # (compile ~3 min + ~4 s/epoch), while a wedged tunnel freezes the
-  # process with zero CPU — a short timeout + resume loses less wall-clock
-  # per wedge (observed: epoch-2 freeze burned 20 min before manual kill).
+  # 1500 s, not 4200: a wedged tunnel freezes the process with zero CPU —
+  # a short timeout + resume loses less wall-clock per wedge.
+  # print_freq 1: the tunnel server wedged 4/4 times ~32 async train steps
+  # in (axon-conn-read blocked in tcp_recvmsg; bench arms with zero per-step
+  # H2D run fine) — reading the loss every iteration caps the async pipeline
+  # at depth ~1, throttling the H2D+dispatch storm that triggers it.
   chip_run 1500 python -m complex_yolov4_tpu.cli.train --synthetic \
     --synthetic_frames 128 --model complex_yolov4 --num_epochs 100 --no_val \
     --batch_size 8 --working_dir workdir/r5gate --saved_fn gate \
-    --checkpoint_freq 5 --print_freq 16 "${RESUME[@]}" \
+    --checkpoint_freq 5 --print_freq 1 --epoch_preload "${RESUME[@]}" \
     >"$LOGDIR/gate_train.out" 2>"$LOGDIR/gate_train.err"
   rc=$?
   { echo "rc=$rc (gate_train)"; tail -3 "$LOGDIR/gate_train.err"; } \
