@@ -247,6 +247,15 @@ def main(argv=None) -> None:
                 T.save_checkpoint_async(configs.checkpoints_dir, state, epoch)
                 logger.info("checkpoint save for epoch %d started (async, %s)",
                             epoch, configs.checkpoints_dir)
+                if configs.sync_checkpoint:
+                    # Serialize the ~full-state D2H against the next epoch's
+                    # dispatches: through the axon tunnel, mixed transfer +
+                    # execute streams wedge the server (same mechanism as the
+                    # H2D interleave that --epoch_preload removes; observed
+                    # at the first post-checkpoint epoch, r5).
+                    T.wait_for_async_save()
+                    logger.info("checkpoint save for epoch %d joined (sync)",
+                                epoch)
 
     finally:
         # join (and surface errors from) any in-flight async

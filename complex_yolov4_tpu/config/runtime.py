@@ -45,6 +45,10 @@ class TrainConfig:
                                              # (default: rasterize on device,
                                              # uploading compact points instead
                                              # of images; mosaic always host)
+    sync_checkpoint: bool = False            # join the async checkpoint D2H
+                                             # before training on (tunnel
+                                             # links that wedge when D2H
+                                             # streams against dispatches)
     epoch_preload: bool = False              # upload ALL of an epoch's batches
                                              # before dispatching its steps, so
                                              # H2D never interleaves with

@@ -54,7 +54,7 @@ else
   chip_run 1500 python -m complex_yolov4_tpu.cli.train --synthetic \
     --synthetic_frames 128 --model complex_yolov4 --num_epochs 100 --no_val \
     --batch_size 8 --working_dir workdir/r5gate --saved_fn gate \
-    --checkpoint_freq 5 --print_freq 1 --epoch_preload "${RESUME[@]}" \
+    --checkpoint_freq 5 --print_freq 1 --epoch_preload --sync_checkpoint "${RESUME[@]}" \
     >"$LOGDIR/gate_train.out" 2>"$LOGDIR/gate_train.err"
   rc=$?
   { echo "rc=$rc (gate_train)"; tail -3 "$LOGDIR/gate_train.err"; } \
