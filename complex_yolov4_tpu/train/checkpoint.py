@@ -125,6 +125,7 @@ def restore_checkpoint(path: str, template: TrainState):
     plain dicts whose alphabetical leaf order silently permutes optax
     namedtuple states (e.g. MultiStepsState fields).
     """
+    path = os.path.abspath(path)  # orbax rejects relative paths
     item = {
         "params": template.params,
         "bn_state": template.bn_state,
@@ -160,6 +161,7 @@ def restore_params_only(path: str) -> Dict[str, Any]:
 def restore_params_and_bn(path: str):
     """(params, bn_state) from any checkpoint written by this framework
     (params/bn_state are plain dicts, so a structureless restore is safe)."""
+    path = os.path.abspath(path)  # orbax rejects relative paths
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(path)
     return (jax.tree.map(np.asarray, restored["params"]),
