@@ -39,7 +39,7 @@ if [ -n "$GCKPT" ]; then
   log "resuming gate training from $GCKPT"
   RESUME=(--resume_path "$GCKPT")
 fi
-if [ "$(basename "${GCKPT:-none}")" = "epoch_100" ]; then
+if [ "$(basename "${GCKPT:-none}")" = "epoch_60" ]; then
   log "gate training already complete ($GCKPT)"
 else
   wait_idle
@@ -52,7 +52,7 @@ else
   # H2D run fine) — reading the loss every iteration caps the async pipeline
   # at depth ~1, throttling the H2D+dispatch storm that triggers it.
   chip_run 1500 python -m complex_yolov4_tpu.cli.train --synthetic \
-    --synthetic_frames 128 --model complex_yolov4 --num_epochs 100 --no_val \
+    --synthetic_frames 128 --model complex_yolov4 --num_epochs 60 --no_val \
     --batch_size 8 --working_dir workdir/r5gate --saved_fn gate \
     --checkpoint_freq 5 --print_freq 1 --epoch_preload --sync_checkpoint "${RESUME[@]}" \
     >"$LOGDIR/gate_train.out" 2>"$LOGDIR/gate_train.err"
