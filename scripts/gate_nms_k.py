@@ -72,6 +72,21 @@ def main() -> None:
     loader = create_val_loader(args.dataset, args.batch_size,
                                num_samples=args.num_samples,
                                device_raster=True, cells_raster=True)
+    # Pre-upload every val batch's device arrays and BLOCK before any
+    # dispatch: through the axon tunnel, H2D interleaved with queued
+    # executions wedges the server (same mechanism cli.train --epoch_preload
+    # removes; the r5 gate eval froze exactly there). A list satisfies
+    # evaluate_map's len+iter contract; jnp.asarray on a committed device
+    # array is a no-op, so the infer path is unchanged.
+    import jax
+
+    batches = list(loader)
+    for b in batches:
+        for k in ("cells", "cell_keys", "cell_dens"):
+            if k in b:
+                b[k] = jax.device_put(np.asarray(b[k]))
+    jax.block_until_ready([b["cells"] for b in batches if "cells" in b])
+    loader = batches
     rows = []
     for k in [int(v) for v in args.ks.split(",")]:
         infer = make_inference_fn(spec, compute_dtype=jnp.bfloat16,
