@@ -112,6 +112,7 @@ def main() -> None:
         for batch in loader():
             n_sup += batch["batch"]
     supply = n_sup / (time.perf_counter() - t0)
+    print(f"supply (host aggregation+IO) : {supply:8.2f} f/s", flush=True)
 
     # -- device: the preloaded-batch rate (bench.py's quantity, this program)
     iters = 20
@@ -124,6 +125,7 @@ def main() -> None:
     jax.block_until_ready((dets, masks))
     _ = float(np.asarray(dets).ravel()[0])
     device = nb * iters / (time.perf_counter() - t0)
+    print(f"device (preloaded batch)     : {device:8.2f} f/s", flush=True)
 
     # -- sustained: full pipelined serving loop
     t0 = time.perf_counter()
@@ -141,10 +143,8 @@ def main() -> None:
 
     overlap = (min(supply, device) and
                sustained / min(supply, device))
-    print(f"supply (host aggregation+IO) : {supply:8.2f} f/s")
-    print(f"device (preloaded batch)     : {device:8.2f} f/s")
     print(f"sustained (pipelined serving): {sustained:8.2f} f/s "
-          f"= {100 * overlap:.0f}% of min(supply, device)")
+          f"= {100 * overlap:.0f}% of min(supply, device)", flush=True)
 
 
 if __name__ == "__main__":
