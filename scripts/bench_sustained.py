@@ -82,6 +82,13 @@ def main() -> None:
 
     infer = make_inference_fn(spec, compute_dtype=jnp.bfloat16, quant=quant,
                               from_cells=True, max_boxes=args.nms_k)
+    # Resident weights: without this every dispatch re-uploads ~128 MB of
+    # params through the 0.03 GB/s tunnel (measured 85 f/s "device" rate in
+    # the first r5 run — a measurement bug, not a pipeline property).
+    params = jax.device_put(params)
+    if quant is not None:
+        quant = jax.device_put(quant)
+    jax.block_until_ready(params)
 
     # One loader object re-iterated per epoch: the derived cell capacity
     # scans the split once at construction, not once per epoch.
