@@ -79,6 +79,35 @@ def make_inference_fn(
         raise ValueError("from_cells and from_points are exclusive")
     n_inputs = 5 if from_points else 1
 
+    if quant is not None:
+        quant = jax.device_put(
+            quant, __import__("complex_yolov4_tpu.parallel.mesh",
+                              fromlist=["replicated"]).replicated(mesh)
+            if mesh is not None else None)
+
+    def _resident_wrap(infer_inner):
+        """Memoized device residency for the per-call weight trees: callers
+        hand host numpy params/state; without this every dispatch re-uploads
+        ~128 MB through the link (measured 85 f/s vs 648 on the tunnel).
+        Re-puts only when the caller passes a different object (epoch-val
+        passes fresh params each epoch); device-resident inputs no-op."""
+        box = {}
+
+        def put(tree):
+            if mesh is not None:
+                from ..parallel import mesh as pmesh
+
+                return jax.device_put(tree, pmesh.replicated(mesh))
+            return jax.device_put(tree)
+
+        def wrapped(params, state, *inputs):
+            if box.get("pid") != (id(params), id(state)):
+                box["pid"] = (id(params), id(state))
+                box["p"], box["s"] = put(params), put(state)
+            return infer_inner(box["p"], box["s"], *inputs)
+
+        return wrapped
+
     if from_cells:
         size = img_size or _default_bev()
 
@@ -144,7 +173,7 @@ def make_inference_fn(
                     cells, keys, dens)
             return dets[:n], masks[:n]
 
-        return infer
+        return _resident_wrap(infer)
 
     def infer_impl(params, state, quant, *inputs):
         if from_points:
@@ -167,7 +196,7 @@ def make_inference_fn(
         def infer(params, state, *inputs):
             return infer_(params, state, quant, *inputs)
 
-        return infer
+        return _resident_wrap(infer)
 
     from ..parallel import mesh as pmesh
 
@@ -191,7 +220,7 @@ def make_inference_fn(
         dets, masks = infer_(params, state, quant, *inputs)
         return (dets[:b], masks[:b]) if pad else (dets, masks)
 
-    return infer
+    return _resident_wrap(infer)
 
 
 def _default_bev() -> int:
