@@ -80,6 +80,65 @@ def main() -> None:
         c3_kernel,
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32)), x, w)
 
+    # C4/C5: the stem kernel's one structural difference from the passing
+    # canaries — an Element input block whose LANE dim is not a 128
+    # multiple (610 = 608 + 2px halo). C5 is the lane-aligned control.
+    def c45_kernel(x_ref, o_ref):
+        o_ref[:, :] = x_ref[0, :, :128] + 1.0
+
+    for name, wdt in (("C4 Element width 610 (stem-like)", 610),
+                      ("C5 Element width 640 (aligned)", 640)):
+        xw = jnp.asarray(np.zeros((2, 8, wdt), np.float32))
+        run(name, pl.pallas_call(
+            c45_kernel,
+            grid=(2,),
+            in_specs=[pl.BlockSpec(
+                (pl.Element(1), pl.Element(8), pl.Element(wdt)),
+                lambda i: (i, 0, 0))],
+            out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32)), xw)
+
+    # C6: aligned-width dress rehearsal of the real stem tile — Element
+    # halo block, 9*C_in slab copies into a (64, r, 640) scratch, 3D-lhs
+    # dot_general, 4D bf16 out. If this runs, the production kernel only
+    # needs its input width padded to a lane multiple.
+    c_in, r, wpad, c_out = 6, 38, 640, 64
+    xs = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, c_in, r + 2, wpad)),
+        jnp.float32)
+    ws = jnp.asarray(
+        np.random.default_rng(1).standard_normal((64, c_out)) * 0.05,
+        jnp.bfloat16)
+
+    wsub = wpad - 2  # 638 output columns (mirrors the real kernel's :w_in)
+
+    def c6_kernel(x_ref, w_ref, o_ref, patches_ref):
+        patches_ref[9 * c_in:, :, :] = jnp.zeros(
+            (64 - 9 * c_in, r, wpad), jnp.float32)
+        patches_ref[:, :, wsub:] = jnp.zeros((64, r, wpad - wsub), jnp.float32)
+        for ky in range(3):
+            for kx in range(3):
+                for ci in range(c_in):
+                    patches_ref[(ky * 3 + kx) * c_in + ci, :, :wsub] = (
+                        x_ref[0, ci, ky:ky + r, kx:kx + wsub])
+        acc = jax.lax.dot_general(
+            patches_ref[:].astype(jnp.bfloat16), w_ref[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0] = acc[:, :wsub, :].astype(jnp.bfloat16)
+
+    run("C6 stem dress-rehearsal (aligned)", pl.pallas_call(
+        c6_kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((pl.Element(1), pl.Element(c_in), pl.Element(r + 2),
+                          pl.Element(wpad)), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, r, wsub, c_out), lambda i: (0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, r, wsub, c_out), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((64, r, wpad), jnp.float32)]), xs, ws)
+
 
 if __name__ == "__main__":
     sys.exit(main())
