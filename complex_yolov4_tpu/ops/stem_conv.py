@@ -136,8 +136,15 @@ def conv3x3_stem(
     n_pad = w_pad - w_in
 
     # Channels-second + 1px SAME halo. One XLA copy (fuses pad+transpose);
-    # ~0.2 ms at conv0 size vs the ~4 ms the kernel saves.
-    xp = jnp.pad(x.transpose(0, 3, 1, 2), ((0, 0), (0, 0), (1, 1), (1, 1)))
+    # ~0.2 ms at conv0 size vs the ~4 ms the kernel saves. The input's last
+    # dim is right-padded to a LANE-ALIGNED Element block width: the r5
+    # canary bisect showed the aligned dress rehearsal (C6, width 640)
+    # compiles while the unaligned real kernel (width 610) crashes the
+    # remote Mosaic compiler; the tap slices only read the first w_in + 2
+    # columns either way.
+    w_blk = _round_up(w_in + 2, 128)
+    xp = jnp.pad(x.transpose(0, 3, 1, 2),
+                 ((0, 0), (0, 0), (1, 1), (1, w_blk - w_in - 1)))
 
     w2d = jnp.zeros((k_pad, c_out), jnp.bfloat16).at[:k].set(
         w.reshape(k, c_out).astype(jnp.bfloat16))
@@ -186,7 +193,7 @@ def conv3x3_stem(
         in_specs=[
             pl.BlockSpec(
                 (pl.Element(1), pl.Element(c_in), pl.Element(r + 2),
-                 pl.Element(w_in + 2)),
+                 pl.Element(w_blk)),
                 lambda b, i: (b, 0, i * r, 0),
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
