@@ -55,6 +55,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -136,15 +137,24 @@ def conv3x3_stem(
     n_pad = w_pad - w_in
 
     # Channels-second + 1px SAME halo. One XLA copy (fuses pad+transpose);
-    # ~0.2 ms at conv0 size vs the ~4 ms the kernel saves. The input's last
-    # dim is right-padded to a LANE-ALIGNED Element block width: the r5
-    # canary bisect showed the aligned dress rehearsal (C6, width 640)
-    # compiles while the unaligned real kernel (width 610) crashes the
-    # remote Mosaic compiler; the tap slices only read the first w_in + 2
-    # columns either way.
+    # ~0.2 ms at conv0 size vs the ~4 ms the kernel saves. Two block-spec
+    # legality constraints found by the r5 remote-Mosaic bisect
+    # (scripts/probe_pallas_canary.py C4-C7 + D1-D4):
+    #   - the Element block's lane dim must be 128-aligned (640, not 610);
+    #   - OVERLAPPING Element windows (the r+2-row halo blocks at step r)
+    #     crash the compiler, and so does the manual-DMA alternative — only
+    #     non-overlapping blocks compile (probe D1 vs D2/D4).
+    # So the halo is materialized in XLA: row group i of `xh` holds input
+    # rows [i*r, i*r + r + 2), and the kernel reads NON-overlapping
+    # (r+2)-row blocks at step r+2. Costs one gather of the (tiny) input
+    # (~10 MB at conv0) — irrelevant next to the multi-ms saving.
     w_blk = _round_up(w_in + 2, 128)
     xp = jnp.pad(x.transpose(0, 3, 1, 2),
                  ((0, 0), (0, 0), (1, 1), (1, w_blk - w_in - 1)))
+    n_t = h // r
+    halo_rows = (np.arange(n_t)[:, None] * r
+                 + np.arange(r + 2)[None, :]).reshape(-1)
+    xh = jnp.take(xp, jnp.asarray(halo_rows), axis=2)
 
     w2d = jnp.zeros((k_pad, c_out), jnp.bfloat16).at[:k].set(
         w.reshape(k, c_out).astype(jnp.bfloat16))
@@ -194,7 +204,7 @@ def conv3x3_stem(
             pl.BlockSpec(
                 (pl.Element(1), pl.Element(c_in), pl.Element(r + 2),
                  pl.Element(w_blk)),
-                lambda b, i: (b, 0, i * r, 0),
+                lambda b, i: (b, 0, i * (r + 2), 0),  # pre-haloed groups
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -203,4 +213,4 @@ def conv3x3_stem(
         out_shape=jax.ShapeDtypeStruct((b_sz, h, w_in, c_out), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((k_pad, r, w_pad), jnp.float32)],
         interpret=interpret,
-    )(xp, w2d, bias2d)
+    )(xh, w2d, bias2d)

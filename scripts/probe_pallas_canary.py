@@ -139,6 +139,69 @@ def main() -> None:
         out_shape=jax.ShapeDtypeStruct((1, r, wsub, c_out), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((64, r, wpad), jnp.float32)]), xs, ws)
 
+    # C7 series: C6 passed, the real kernel fails — walk the remaining
+    # differences one at a time on real conv0-packed dimensions.
+    b_sz, h = 2, 608
+    xf = jnp.asarray(
+        np.random.default_rng(2).standard_normal(
+            (b_sz, c_in, h + 2, wpad)) * 0.3, jnp.float32)
+    bias2d = jnp.asarray(
+        np.random.default_rng(3).standard_normal((1, c_out)) * 0.05,
+        jnp.float32)
+
+    def mk(with_when, with_bias, kern_name):
+        def kern(*refs):
+            if with_bias:
+                x_ref, w_ref, b_ref, o_ref, patches_ref = refs
+            else:
+                x_ref, w_ref, o_ref, patches_ref = refs
+
+            def zero():
+                patches_ref[9 * c_in:, :, :] = jnp.zeros(
+                    (64 - 9 * c_in, r, wpad), jnp.float32)
+                patches_ref[:, :, wsub:] = jnp.zeros(
+                    (64, r, wpad - wsub), jnp.float32)
+
+            if with_when:
+                pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))(zero)
+            else:
+                zero()
+            for ky in range(3):
+                for kx in range(3):
+                    for ci in range(c_in):
+                        patches_ref[(ky * 3 + kx) * c_in + ci, :, :wsub] = (
+                            x_ref[0, ci, ky:ky + r, kx:kx + wsub])
+            acc = jax.lax.dot_general(
+                patches_ref[:].astype(jnp.bfloat16), w_ref[:],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if with_bias:
+                acc = acc + b_ref[:]
+            o_ref[0] = acc[:, :wsub, :].astype(jnp.bfloat16)
+
+        in_specs = [
+            pl.BlockSpec((pl.Element(1), pl.Element(c_in), pl.Element(r + 2),
+                          pl.Element(wpad)), lambda b, i: (b, 0, i * r, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        args = [xf, ws]
+        if with_bias:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            args.append(bias2d)
+        run(kern_name, pl.pallas_call(
+            kern,
+            grid=(b_sz, h // r),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, r, wsub, c_out),
+                                   lambda b, i: (b, i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b_sz, h, wsub, c_out),
+                                           jnp.bfloat16),
+            scratch_shapes=[pltpu.VMEM((64, r, wpad), jnp.float32)]), *args)
+
+    mk(False, False, "C7a C6 + real grid/index maps")
+    mk(True, False, "C7b C7a + pl.when one-time zero")
+    mk(True, True, "C7c C7b + bias input (the full kernel)")
+
 
 if __name__ == "__main__":
     sys.exit(main())
