@@ -34,19 +34,23 @@ Scope: kernel 3x3, stride 1, SAME padding, C_in <= 14 (K = 9*C_in fits one
 MXU K-tile), bias + activation fused, inference only. Unpacked (C_in=3) and
 batch-packed (C_in = 3p) conv0 both qualify; everything else keeps XLA convs.
 
-STATUS (round 5): the kernel now uses the RESHAPE-FREE formulation — the
-round-4 version's (k_pad, r, w_pad) -> (k_pad, r*w_pad) scratch reshape
-merged sublane and lane dims (a relayout Mosaic lacks) and was the prime
-suspect for the remote Mosaic crash (`tpu_compile_helper subprocess exit
-code 1`, no retrievable diagnostics through the axon tunnel). The 3D-lhs
-dot_general contracts the sublane dim directly (probe_stem_mosaic.py::p4);
-interpret-mode correctness is re-pinned (tests/test_stem_conv.py, 6 tests).
-Still default OFF (STEM_PALLAS=1 opts in) pending the round-5
-healthy-tunnel probe + on-chip A/B (VERDICT r4 #4). Context that stands:
-the one-pass thesis in pure XLA (im2col concat + K=54 matmul) measured
-3.4x SLOWER than the 9-tap conv (7.54 vs 2.24 ms packed — XLA materializes
-the 9x patch concat instead of fusing it into the dot); numbers in PERF.md
-round-4 batch 5.
+STATUS (round 5): CLOSED BY MEASUREMENT — keep default OFF (STEM_PALLAS=1
+is interpret/A-B only). The full bisect finally ran on a healthy compile
+service (scripts/probe_pallas_canary.py C0-C7 + D1-D12, PERF.md r5):
+the r4 crash decomposed into (a) a flip-flopping remote compile service,
+(b) overlapping Element halo windows and manual-DMA halo loads both crash
+Mosaic (fixed here: XLA-materialized halo -> non-overlapping blocks),
+(c) Element lane dims must be 128-aligned (fixed: width-padded blocks),
+(d) a compile-size boundary near ~47 MB of output array (a per-frame
+grid compiles; the full batch needs unrolled per-frame calls). With all
+of that fixed the kernel COMPILES AND RUNS — **650x slower than XLA's
+9-tap conv** (1941.9 ms vs 3.0 ms, batch-8 packed conv0, steady state),
+consistent with Element-block DMA degenerating to per-element transfers.
+The reshape-free 3D-lhs dot_general formulation and interpret-mode
+correctness (tests/test_stem_conv.py, 6 tests) stand; conv0's gap to its
+physics floor stays unreachable on this toolchain (XLA im2col 3.4x slower
+r4; this kernel 650x slower r5; XLA's own lowering at 93% of its padded
+speed of light).
 """
 
 from __future__ import annotations
