@@ -275,7 +275,7 @@ def main() -> None:
     # 1-core host, a degraded tunnel), not the program. Warn LOUDLY, retry
     # the timed loop once (transient contention often clears), and report
     # the best honest pass — never a fabricated number.
-    headline = float(os.environ.get("BENCH_HEADLINE", "620"))
+    headline = float(os.environ.get("BENCH_HEADLINE", "645"))
     if fps < 0.5 * headline:
         print(f"WARNING: CONTENTION-SUSPECT measurement: {fps:.2f} f/s is "
               f"<50% of the committed {headline:.0f} f/s headline. Check "
