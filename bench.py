@@ -18,6 +18,14 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
 
+# Persistent jit cache (harmless if unsupported): the serving program's
+# remote compile costs 30-60 s through the tunnel and can land mid-wedge;
+# a warm cache makes the official snapshot run deterministic (r5).
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                                     "workdir", "jaxcache"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 
 
 def main() -> None:
