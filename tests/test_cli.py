@@ -42,6 +42,25 @@ def test_train_cli_end_to_end(kitti_root, tmp_path):
     assert os.path.isdir(os.path.join(wd, "checkpoints", "complexer_yolo", "epoch_2"))
 
 
+def test_train_cli_epoch_preload_sync_checkpoint(kitti_root, tmp_path):
+    # Round-5 tunnel-wedge flags: all of an epoch's batches uploaded before
+    # the first dispatch, and the async checkpoint joined before training
+    # on. Must be drop-in equivalent on the training contract surface.
+    from complex_yolov4_tpu.cli.train import main
+
+    wd = str(tmp_path / "wd_pre")
+    main(["--dataset_dir", kitti_root, "--model", "complex_yolov4_tiny",
+          "--batch_size", "2", "--num_epochs", "1", "--subdivisions", "1",
+          "--working_dir", wd, "--checkpoint_freq", "1", "--print_freq", "1",
+          "--compute_dtype", "float32", "--no_val",
+          "--epoch_preload", "--sync_checkpoint"])
+    assert os.path.isdir(
+        os.path.join(wd, "checkpoints", "complexer_yolo", "epoch_1"))
+    log = open(os.path.join(wd, "logs", "complexer_yolo",
+                            "logger_complexer_yolo.txt")).read()
+    assert "joined (sync)" in log
+
+
 def test_test_cli_writes_images(kitti_root, tmp_path):
     from complex_yolov4_tpu.cli.test import main
 
